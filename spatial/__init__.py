@@ -1,0 +1,39 @@
+"""spatial -- a PySpark-native spatial-join + tiling engine.
+
+From-scratch engine whose correctness kernel (geometry model, hex-EWKB /
+GeoJSON / WKT codecs) subsumes everything computed by the reference
+serialization library (ewestern/haskell-postgis, read-only at
+/root/reference/), re-expressed as columnar struct-of-arrays geometry plus
+vectorized Arrow kernels, and which layers on top: S2-style cell indexing,
+ray-casting point-in-polygon, grid-pruned kNN, Web-Mercator tiling, a
+skew-aware spatial join, a geocoding pages pipeline with checkpoint/resume,
+and large-scale training-data ops (dedup, similarity search, text analysis).
+"""
+
+from .geometry import (  # noqa: F401
+    GEOMETRY,
+    Geom,
+    POINT,
+    LINESTRING,
+    POLYGON,
+    MULTIPOINT,
+    MULTILINESTRING,
+    MULTIPOLYGON,
+    point,
+    linestring,
+    polygon,
+    multipoint,
+    multilinestring,
+    multipolygon,
+)
+from .ewkb import (  # noqa: F401
+    decode_hex,
+    decode_wkb,
+    encode_hex,
+    encode_geom,
+    ewkb_decode,
+    ewkb_encode,
+    ewkb_encode_reference_compat,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,408 @@
+"""Hex-EWKB codec: string column <-> GEOMETRY struct column.
+
+Brand-new vectorized implementation of the computation specified by the
+reference's ``readGeometry``/``writeGeometry``
+(/root/reference/src/Database/Postgis/Serialize.hs:27-31) and the parser
+cascade at Serialize.hs:151-250 -- re-derived from the PostGIS EWKB wire
+format, not translated.
+
+Semantics matched to the reference (verified against its golden fixtures,
+tests/GeoSpec.hs:17-20,37-44):
+
+* header = endianness byte ("00" big / "01" little, Serialize.hs:48-54),
+  uint32 type word with flag bits Z=0x80000000, M=0x40000000,
+  SRID=0x20000000, type = word & 0x1fffffff (Serialize.hs:22-25,151-164);
+* coordinates are IEEE754 doubles in x,y[,z][,m] order (Serialize.hs:203-212,
+  131-132 -- NB the reference's putPosition binds its pattern vars in z,m
+  order but writes the record's _z then _m, i.e. x,y,z,m on the wire);
+* decode accepts BOTH standard EWKB nesting and the reference's two quirks:
+  MultiPoint bodies as bare positions (Serialize.hs:115-118,181-186) and
+  nested Multi* elements that repeat the SRID flag (Serialize.hs:120-128);
+  it additionally accepts ISO-WKB type codes (1001/2001/3001 style Z/M/ZM),
+  which the reference errors on (Serialize.hs:164);
+* encode defaults to standard little-endian EWKB (SRID flag only on the top
+  header; nested elements carry Z/M flags but no SRID) -- deterministic
+  across hosts, unlike the reference which stamps host endianness
+  (Serialize.hs:94). ``compat="reference"`` reproduces the reference's
+  bare-position MultiPoint and repeated-SRID nesting for parity tests.
+* malformed input decodes to a NULL struct row instead of raising: a
+  10^12-row job must not die on one bad page (the reference ``error``s,
+  Serialize.hs:164).
+
+Hot path note: structure varies per row, so the parser walks rows in Python,
+but all coordinate payloads move via ``np.frombuffer`` (one vectorized slice
+per ring block, no per-coordinate Python), and the all-2D-LE-point fast path
+(the overwhelmingly common shape in a geocoded web corpus) decodes the whole
+Arrow batch with two reshaped ``frombuffer`` calls and zero per-row work.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from .geometry import (
+    EWKB_TYPE_MASK,
+    GEOMETRY,
+    GEOMETRY_FIELDS,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    WKB_M,
+    WKB_SRID,
+    WKB_Z,
+    Geom,
+)
+
+
+# --------------------------------------------------------------------------
+# pure-Python core (row granularity, numpy coordinate blocks)
+# --------------------------------------------------------------------------
+
+class _Cursor:
+    __slots__ = ("buf", "off")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.off = 0
+
+
+def _read_header(c: _Cursor):
+    bo = c.buf[c.off]
+    c.off += 1
+    fmt = "<" if bo == 1 else ">"
+    (word,) = struct.unpack_from(fmt + "I", c.buf, c.off)
+    c.off += 4
+    gtype = word & EWKB_TYPE_MASK
+    has_z = bool(word & WKB_Z)
+    has_m = bool(word & WKB_M)
+    # ISO WKB encodes dimensionality in the code itself (1001 = Point Z ...)
+    if gtype >= 1000:
+        kind = gtype % 1000
+        d = gtype // 1000
+        has_z = has_z or d in (1, 3)
+        has_m = has_m or d in (2, 3)
+        gtype = kind
+    srid = None
+    if word & WKB_SRID:
+        (srid,) = struct.unpack_from(fmt + "i", c.buf, c.off)
+        c.off += 4
+    return fmt, gtype, has_z, has_m, srid
+
+
+def _read_coords(c: _Cursor, fmt: str, n: int, dims: int) -> np.ndarray:
+    nb = n * dims * 8
+    arr = np.frombuffer(c.buf, dtype=fmt + "f8", count=n * dims, offset=c.off)
+    c.off += nb
+    return arr.reshape(n, dims)
+
+
+def _read_count(c: _Cursor, fmt: str) -> int:
+    (n,) = struct.unpack_from(fmt + "I", c.buf, c.off)
+    c.off += 4
+    return n
+
+
+def _parse(c: _Cursor) -> Geom:
+    fmt, gtype, has_z, has_m, srid = _read_header(c)
+    dims = 2 + int(has_z) + int(has_m)
+    xs: list = []
+    ys: list = []
+    zs: list = [] if has_z else None
+    ms: list = [] if has_m else None
+    roffs = [0]
+    poffs = [0]
+
+    def push(block: np.ndarray):
+        xs.extend(block[:, 0].tolist())
+        ys.extend(block[:, 1].tolist())
+        k = 2
+        if has_z:
+            zs.extend(block[:, k].tolist())
+            k += 1
+        if has_m:
+            ms.extend(block[:, k].tolist())
+        roffs.append(len(xs))
+
+    if gtype == POINT:
+        push(_read_coords(c, fmt, 1, dims))
+        poffs.append(1)
+    elif gtype == LINESTRING:
+        n = _read_count(c, fmt)
+        push(_read_coords(c, fmt, n, dims))
+        poffs.append(1)
+    elif gtype == POLYGON:
+        nr = _read_count(c, fmt)
+        for _ in range(nr):
+            n = _read_count(c, fmt)
+            push(_read_coords(c, fmt, n, dims))
+        poffs.append(nr)
+    elif gtype == MULTIPOINT:
+        n = _read_count(c, fmt)
+        remaining = len(c.buf) - c.off
+        if remaining == n * dims * 8:
+            # reference quirk: bare positions, no nested headers
+            # (Serialize.hs:181-186)
+            block = _read_coords(c, fmt, n, dims)
+            for i in range(n):
+                push(block[i : i + 1])
+                poffs.append(len(roffs) - 1)
+        else:
+            for _ in range(n):
+                sub_fmt, sub_t, sz, sm, _ = _read_header(c)
+                sub_dims = 2 + int(sz) + int(sm)
+                push(_read_coords(c, sub_fmt, 1, sub_dims))
+                poffs.append(len(roffs) - 1)
+    elif gtype == MULTILINESTRING:
+        n = _read_count(c, fmt)
+        for _ in range(n):
+            sub_fmt, _, sz, sm, _ = _read_header(c)
+            sub_dims = 2 + int(sz) + int(sm)
+            cnt = _read_count(c, sub_fmt)
+            push(_read_coords(c, sub_fmt, cnt, sub_dims))
+            poffs.append(len(roffs) - 1)
+    elif gtype == MULTIPOLYGON:
+        n = _read_count(c, fmt)
+        for _ in range(n):
+            sub_fmt, _, sz, sm, _ = _read_header(c)
+            sub_dims = 2 + int(sz) + int(sm)
+            nr = _read_count(c, sub_fmt)
+            for _ in range(nr):
+                cnt = _read_count(c, sub_fmt)
+                push(_read_coords(c, sub_fmt, cnt, sub_dims))
+            poffs.append(len(roffs) - 1)
+    else:
+        raise ValueError(f"unsupported WKB type code {gtype}")
+
+    return Geom(gtype, srid, has_z, has_m, xs, ys, zs, ms, roffs, poffs)
+
+
+def decode_hex(hex_str: str) -> Optional[Geom]:
+    """hex-EWKB -> Geom; None on malformed input (never raises)."""
+    if hex_str is None:
+        return None
+    try:
+        buf = bytes.fromhex(hex_str)
+        return _parse(_Cursor(buf))
+    except Exception:
+        return None
+
+
+def decode_wkb(buf: bytes) -> Optional[Geom]:
+    if buf is None:
+        return None
+    try:
+        return _parse(_Cursor(bytes(buf)))
+    except Exception:
+        return None
+
+
+# -- encode ----------------------------------------------------------------
+
+def _header_bytes(gtype: int, srid, has_z: bool, has_m: bool,
+                  with_srid: bool) -> bytes:
+    word = gtype
+    if has_z:
+        word |= WKB_Z
+    if has_m:
+        word |= WKB_M
+    out = b"\x01" + struct.pack("<I", word | (WKB_SRID if (with_srid and srid is not None) else 0))
+    if with_srid and srid is not None:
+        out += struct.pack("<i", srid)
+    return out
+
+
+def _coords_bytes(g: Geom, a: int, b: int) -> bytes:
+    cols = [np.asarray(g.xs[a:b], dtype="<f8"), np.asarray(g.ys[a:b], dtype="<f8")]
+    if g.has_z:
+        cols.append(np.asarray(g.zs[a:b], dtype="<f8"))
+    if g.has_m:
+        cols.append(np.asarray(g.ms[a:b], dtype="<f8"))
+    return np.stack(cols, axis=1).tobytes()
+
+
+def encode_geom(g: Optional[Geom], compat: str = "standard") -> Optional[bytes]:
+    """Geom -> little-endian EWKB bytes.
+
+    compat="standard": SRID flag on the top-level header only; nested Multi*
+    elements carry Z/M flags but no SRID (PostGIS behavior).
+    compat="reference": MultiPoint body = bare positions and nested elements
+    repeat the SRID (Serialize.hs:115-128).
+    """
+    if g is None:
+        return None
+    ref = compat == "reference"
+    out = bytearray(_header_bytes(g.gtype, g.srid, g.has_z, g.has_m, True))
+    ro, po = g.ring_offsets, g.part_offsets
+
+    if g.gtype == POINT:
+        out += _coords_bytes(g, 0, max(len(g.xs), 0)) if g.xs else struct.pack(
+            "<%dd" % (2 + g.has_z + g.has_m), *([float("nan")] * (2 + g.has_z + g.has_m)))
+    elif g.gtype == LINESTRING:
+        out += struct.pack("<I", len(g.xs))
+        out += _coords_bytes(g, 0, len(g.xs))
+    elif g.gtype == POLYGON:
+        out += struct.pack("<I", len(ro) - 1)
+        for i in range(len(ro) - 1):
+            out += struct.pack("<I", ro[i + 1] - ro[i])
+            out += _coords_bytes(g, ro[i], ro[i + 1])
+    elif g.gtype == MULTIPOINT:
+        n = len(po) - 1
+        out += struct.pack("<I", n)
+        if ref:
+            out += _coords_bytes(g, 0, len(g.xs))  # bare positions quirk
+        else:
+            for i in range(n):
+                out += _header_bytes(POINT, g.srid, g.has_z, g.has_m, False)
+                out += _coords_bytes(g, i, i + 1)
+    elif g.gtype == MULTILINESTRING:
+        n = len(po) - 1
+        out += struct.pack("<I", n)
+        for i in range(n):
+            out += _header_bytes(LINESTRING, g.srid, g.has_z, g.has_m, ref)
+            a, b = ro[po[i]], ro[po[i] + 1]
+            out += struct.pack("<I", b - a)
+            out += _coords_bytes(g, a, b)
+    elif g.gtype == MULTIPOLYGON:
+        n = len(po) - 1
+        out += struct.pack("<I", n)
+        for i in range(n):
+            out += _header_bytes(POLYGON, g.srid, g.has_z, g.has_m, ref)
+            r0, r1 = po[i], po[i + 1]
+            out += struct.pack("<I", r1 - r0)
+            for r in range(r0, r1):
+                out += struct.pack("<I", ro[r + 1] - ro[r])
+                out += _coords_bytes(g, ro[r], ro[r + 1])
+    else:
+        raise ValueError(f"unsupported gtype {g.gtype}")
+    return bytes(out)
+
+
+def encode_hex(g: Optional[Geom], compat: str = "standard") -> Optional[str]:
+    b = encode_geom(g, compat)
+    return b.hex() if b is not None else None
+
+
+# --------------------------------------------------------------------------
+# Arrow-batch (pandas) layer
+# --------------------------------------------------------------------------
+
+_EMPTY_ROW = {f: None for f in GEOMETRY_FIELDS}
+
+# An SRID 2D little-endian point is exactly 25 bytes / 50 hex chars starting
+# "0101000020"; a no-SRID one is 21 bytes starting "0101000000".
+_FAST_POINT_SRID = "0101000020"
+_FAST_POINT_NOSRID = "0101000000"
+
+
+def _decode_series_fast_points(s: pd.Series) -> Optional[pd.DataFrame]:
+    """Whole-batch vectorized decode when every row is a 2D LE point."""
+    vals = s.to_numpy(dtype=object)
+    n = len(vals)
+    if n == 0:
+        return None
+    first = vals[0]
+    if not isinstance(first, str):
+        return None
+    if first.startswith(_FAST_POINT_SRID) and len(first) == 50:
+        prefix, size, srid_present = _FAST_POINT_SRID, 50, True
+    elif first.startswith(_FAST_POINT_NOSRID) and len(first) == 42:
+        prefix, size, srid_present = _FAST_POINT_NOSRID, 42, False
+    else:
+        return None
+    for v in vals:
+        if not (isinstance(v, str) and len(v) == size and v.startswith(prefix)):
+            return None
+    blob = bytes.fromhex("".join(vals))
+    rec = np.frombuffer(blob, dtype=np.uint8).reshape(n, size // 2)
+    if srid_present:
+        srid = rec[:, 5:9].copy().view("<i4").ravel()
+        coords = rec[:, 9:25].copy().view("<f8").reshape(n, 2)
+        srid_col = pd.array(srid, dtype="Int32")
+    else:
+        coords = rec[:, 5:21].copy().view("<f8").reshape(n, 2)
+        srid_col = pd.array([None] * n, dtype="Int32")
+    xs = [[float(x)] for x in coords[:, 0]]
+    ys = [[float(y)] for y in coords[:, 1]]
+    one = [0, 1]
+    return pd.DataFrame(
+        {
+            "gtype": np.full(n, POINT, dtype=np.int32),
+            "srid": srid_col,
+            "has_z": np.zeros(n, dtype=bool),
+            "has_m": np.zeros(n, dtype=bool),
+            "xs": xs,
+            "ys": ys,
+            "zs": [None] * n,
+            "ms": [None] * n,
+            "ring_offsets": [one] * n,
+            "part_offsets": [one] * n,
+        }
+    )
+
+
+def _decode_series(s: pd.Series) -> pd.DataFrame:
+    fast = _decode_series_fast_points(s)
+    if fast is not None:
+        return fast
+    rows = []
+    for v in s:
+        g = decode_hex(v) if isinstance(v, str) else None
+        rows.append(g.as_row() if g is not None else _EMPTY_ROW)
+    return pd.DataFrame(rows, columns=GEOMETRY_FIELDS)
+
+
+@pandas_udf(GEOMETRY)
+def ewkb_decode(s: pd.Series) -> pd.DataFrame:
+    """hex-EWKB string column -> GEOMETRY struct column (R1-R18)."""
+    return _decode_series(s)
+
+
+def _row_to_geom(row) -> Optional[Geom]:
+    # row: dict-like struct from a pandas_udf input DataFrame
+    if row is None or row.get("gtype") is None or (isinstance(row.get("gtype"), float) and np.isnan(row["gtype"])):
+        return None
+    return Geom(
+        int(row["gtype"]),
+        None if row["srid"] is None or (isinstance(row["srid"], float) and np.isnan(row["srid"])) else int(row["srid"]),
+        bool(row["has_z"]),
+        bool(row["has_m"]),
+        list(row["xs"]) if row["xs"] is not None else [],
+        list(row["ys"]) if row["ys"] is not None else [],
+        list(row["zs"]) if row["zs"] is not None else None,
+        list(row["ms"]) if row["ms"] is not None else None,
+        [int(v) for v in row["ring_offsets"]] if row["ring_offsets"] is not None else [0],
+        [int(v) for v in row["part_offsets"]] if row["part_offsets"] is not None else [0],
+    )
+
+
+def _encode_frame(df: pd.DataFrame, compat: str) -> pd.Series:
+    out = []
+    recs = df.to_dict("records")
+    for row in recs:
+        g = _row_to_geom(row)
+        out.append(encode_hex(g, compat) if g is not None else None)
+    return pd.Series(out)
+
+
+@pandas_udf(StringType())
+def ewkb_encode(geom: pd.DataFrame) -> pd.Series:
+    """GEOMETRY struct column -> lowercase hex-EWKB (standard, little-endian).
+
+    Lowercase matches the reference's toHexWord (Serialize.hs:66-73); its own
+    tests compare uppercase-normalized (tests/GeoSpec.hs:23-24,41-44)."""
+    return _encode_frame(geom, "standard")
+
+
+@pandas_udf(StringType())
+def ewkb_encode_reference_compat(geom: pd.DataFrame) -> pd.Series:
+    """Like ewkb_encode but reproducing the reference's wire quirks."""
+    return _encode_frame(geom, "reference")
