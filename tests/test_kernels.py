@@ -1,0 +1,123 @@
+import math
+
+import numpy as np
+import pytest
+
+from spatial import polygon, multipolygon, linestring
+from spatial.kernels import (
+    dump_points,
+    haversine_col,
+    haversine_m,
+    pip_even_odd,
+    ring_is_closed,
+)
+
+SQUARE = polygon([[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]])
+SQUARE_HOLE = polygon([
+    [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+    [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)],
+])
+
+
+def _pip(g, pts):
+    px = np.asarray([p[0] for p in pts])
+    py = np.asarray([p[1] for p in pts])
+    return pip_even_odd(px, py, g.xs, g.ys, g.ring_offsets).tolist()
+
+
+def test_pip_square():
+    assert _pip(SQUARE, [(5, 5), (0.1, 0.1), (9.9, 9.9)]) == [True, True, True]
+    assert _pip(SQUARE, [(-1, 5), (11, 5), (5, -1), (5, 11), (20, 20)]) == [False] * 5
+
+
+def test_pip_hole():
+    assert _pip(SQUARE_HOLE, [(5, 5)]) == [False]      # inside the hole
+    assert _pip(SQUARE_HOLE, [(2, 2), (4.5, 3.0)]) == [True, True]
+    assert _pip(SQUARE_HOLE, [(4.5, 4.5)]) == [False]
+
+
+def test_pip_concave():
+    # C-shape
+    g = polygon([[(0.0, 0.0), (10.0, 0.0), (10.0, 3.0), (3.0, 3.0),
+                  (3.0, 7.0), (10.0, 7.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]])
+    assert _pip(g, [(5, 5)]) == [False]   # in the notch
+    assert _pip(g, [(1, 5), (5, 1), (5, 9)]) == [True, True, True]
+
+
+def test_pip_multipolygon_even_odd():
+    g = multipolygon([
+        [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]],
+        [[(5.0, 5.0), (7.0, 5.0), (7.0, 7.0), (5.0, 7.0), (5.0, 5.0)]],
+    ])
+    assert _pip(g, [(1, 1), (6, 6), (3.5, 3.5)]) == [True, True, False]
+
+
+def test_pip_unclosed_ring_autocloses():
+    g = polygon([[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]])  # no repeat
+    assert _pip(g, [(5, 5), (15, 5)]) == [True, False]
+
+
+def test_pip_vs_bruteforce_oracle():
+    # random concave-ish polygon, compare against an independent scalar
+    # implementation (matplotlib-free, shoelace-style crossing count)
+    rng = np.random.default_rng(7)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 12))
+    radii = rng.uniform(2, 8, 12)
+    ring = [(float(r * np.cos(a)), float(r * np.sin(a))) for a, r in zip(angles, radii)]
+    ring.append(ring[0])
+    g = polygon([ring])
+    px = rng.uniform(-10, 10, 3000)
+    py = rng.uniform(-10, 10, 3000)
+
+    def scalar_pip(x, y):
+        inside = False
+        for i in range(len(ring) - 1):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i + 1]
+            if (y1 > y) != (y2 > y):
+                if x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+                    inside = not inside
+        return inside
+
+    got = pip_even_odd(px, py, g.xs, g.ys, g.ring_offsets)
+    want = np.asarray([scalar_pip(x, y) for x, y in zip(px, py)])
+    assert (got == want).all()
+
+
+def test_ring_is_closed():
+    assert ring_is_closed(SQUARE.xs, SQUARE.ys, SQUARE.ring_offsets) == [True]
+    open_ring = polygon([[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]])
+    assert ring_is_closed(open_ring.xs, open_ring.ys, open_ring.ring_offsets) == [False]
+
+
+def test_haversine_known_distance():
+    # LAX (-118.4085, 33.9416) to JFK (-73.7781, 40.6413) ~ 3974 km
+    d = haversine_m(-118.4085, 33.9416, -73.7781, 40.6413)
+    assert abs(float(d) / 1000.0 - 3974) < 15
+    assert float(haversine_m(10, 20, 10, 20)) == 0.0
+
+
+def test_haversine_col_matches_numpy(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "lon1": rng.uniform(-180, 180, 200), "lat1": rng.uniform(-89, 89, 200),
+        "lon2": rng.uniform(-180, 180, 200), "lat2": rng.uniform(-89, 89, 200),
+    })
+    df = spark.createDataFrame(pdf)
+    got = np.asarray(
+        df.select(haversine_col(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d"))
+        .toPandas()["d"]
+    )
+    want = haversine_m(pdf.lon1, pdf.lat1, pdf.lon2, pdf.lat2)
+    assert np.allclose(got, want, rtol=1e-9)
+
+
+def test_dump_points(spark):
+    g = linestring([(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)], srid=4326)
+    df = spark.createDataFrame([(1, g.as_row())], "id long, geom struct<gtype:int,srid:int,has_z:boolean,has_m:boolean,xs:array<double>,ys:array<double>,zs:array<double>,ms:array<double>,ring_offsets:array<int>,part_offsets:array<int>>")
+    rows = dump_points(df).select("point_idx", "pt_x", "pt_y").collect()
+    assert [(r["point_idx"], r["pt_x"], r["pt_y"]) for r in rows] == [
+        (0, 1.0, 2.0), (1, 3.0, 4.0), (2, 5.0, 6.0)]
