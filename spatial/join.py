@@ -1,0 +1,199 @@
+"""Skew-aware spatial join: points-in-polygons at web scale.
+
+The reference has no joins at all (it is a 636-line codec library); this is
+the engine's centerpiece, mandated by BASELINE.json north_rule. Design is
+Spark-first (SURVEY.md §2.1.6, §4.3):
+
+    build side:  regions -> bbox (JVM array_min/max) -> cover_cells(bbox, L)
+                 -> explode  => (cell, region_id, bbox)
+    probe side:  points -> cell_of(x, y, L)          => (cell, x, y, payload)
+    candidates:  equi-join on cell  (Catalyst picks hash join; broadcast()
+                 hint when the exploded build side is small)
+    prefilter:   bbox containment   (pure column predicate, codegen)
+    refine:      exact ray-cast point-in-polygon, vectorized per region
+                 within each Arrow batch
+
+Physical decisions (explicit, per the north rule):
+
+* **Broadcast path** (default when exploded build side <= broadcast_threshold
+  rows): probe points NEVER shuffle -- the only wide exchange in the whole
+  job disappears. This is the 100TB-friendly plan whenever the polygon side
+  is dim-table-sized (countries, admin regions, metros: thousands of rows).
+* **Salted shuffle path**: when the build side is too big to broadcast, the
+  join shuffles on cell -- and web pages geocode heavily onto few cities, so
+  cell keys are Zipf-skewed. ``salt_buckets=s`` splits every hot cell's probe
+  rows across s sub-keys (deterministic pmod of a payload hash) and
+  replicates matching build rows s times: reducer-side work for a hot cell
+  drops by ~s with zero correctness impact (each probe row still meets every
+  build row of its cell exactly once). AQE skew-join handles residual skew.
+* **Locality**: optional repartitionByRange on the cell id before writing --
+  Morton ids make range partitioning equal spatial-prefix partitioning
+  (cells.py layout note).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, BooleanType, LongType
+
+from .cells import cell_from_lonlat, cover_bbox, level_for_extent
+from .kernels import pip_even_odd
+
+
+def make_cover_cells(level: int):
+    """pandas_udf: (minx, miny, maxx, maxy) -> array of covering cell ids."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def cover_cells(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+                    maxy: pd.Series) -> pd.Series:
+        out = []
+        for a, b, c, d in zip(minx, miny, maxx, maxy):
+            if a is None or pd.isna(a):
+                out.append([])
+            else:
+                out.append(cover_bbox(float(a), float(b), float(c), float(d),
+                                      level).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return cover_cells
+
+
+@pandas_udf(BooleanType())
+def st_contains_point(region_id: pd.Series, geom: pd.DataFrame,
+                      x: pd.Series, y: pd.Series) -> pd.Series:
+    """Exact PIP refine. Within an Arrow batch, rows are grouped by
+    region_id and each group's points are tested against that one polygon in
+    a single vectorized kernel call -- the per-batch group count is the
+    number of distinct regions, not the number of rows."""
+    out = np.zeros(len(x), dtype=bool)
+    xv = x.to_numpy(np.float64)
+    yv = y.to_numpy(np.float64)
+    if len(x) == 0:
+        return pd.Series(out)
+    gb = pd.Series(np.arange(len(x))).groupby(region_id.to_numpy())
+    xs_col = geom["xs"]
+    ys_col = geom["ys"]
+    ro_col = geom["ring_offsets"]
+    for _, idx in gb.indices.items():
+        first = idx[0]
+        xs = np.asarray(xs_col.iloc[first], dtype=np.float64)
+        ys = np.asarray(ys_col.iloc[first], dtype=np.float64)
+        ro = [int(v) for v in ro_col.iloc[first]]
+        out[idx] = pip_even_odd(xv[idx], yv[idx], xs, ys, ro)
+    return pd.Series(out)
+
+
+def prepare_regions(regions: DataFrame, level: int,
+                    geom_col: str = "geom", id_col: str = "region_id") -> DataFrame:
+    """regions(geom GEOMETRY, id) -> exploded (cell, id, bbox, geom)."""
+    cover = make_cover_cells(level)
+    g = F.col(geom_col)
+    with_bbox = regions.select(
+        F.col(id_col),
+        g.alias("__geom"),
+        F.array_min(g["xs"]).alias("bbox_minx"),
+        F.array_min(g["ys"]).alias("bbox_miny"),
+        F.array_max(g["xs"]).alias("bbox_maxx"),
+        F.array_max(g["ys"]).alias("bbox_maxy"),
+    )
+    return with_bbox.withColumn(
+        "cell", F.explode(cover("bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"))
+    )
+
+
+def pick_level(regions: DataFrame, geom_col: str = "geom") -> int:
+    """Join level from the median region bbox extent (driver-side tiny agg)."""
+    g = F.col(geom_col)
+    row = regions.select(
+        F.percentile_approx(
+            F.greatest(F.array_max(g["xs"]) - F.array_min(g["xs"]),
+                       F.array_max(g["ys"]) - F.array_min(g["ys"])), 0.5
+        ).alias("ext")
+    ).first()
+    ext = row["ext"] or 1.0
+    return level_for_extent(float(ext), target_cells_per_axis=4)
+
+
+def spatial_join(
+    points: DataFrame,
+    regions: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    region_id_col: str = "region_id",
+    geom_col: str = "geom",
+    level: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
+    salt_buckets: int = 0,
+    salt_key: Optional[str] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join every point to every region whose polygon contains it.
+
+    Returns points columns + region_id + cell. ``how`` in {"inner",
+    "left_semi_exists" (adds a boolean), "left"}.
+    """
+    if level is None:
+        level = pick_level(regions, geom_col)
+    from .cells import make_cell_of
+
+    cell_of = make_cell_of(level)
+    build = prepare_regions(regions, level, geom_col, region_id_col)
+    probe = points.withColumn("cell", cell_of(F.col(x_col), F.col(y_col)))
+
+    # --- physical strategy selection -------------------------------------
+    # The exploded build side is reused by the join itself, so persist before
+    # the sizing count (one pass, not two).
+    build = build.persist()
+    n_build = build.count()
+    use_broadcast = n_build <= broadcast_threshold and salt_buckets == 0
+
+    if use_broadcast:
+        joined = probe.join(F.broadcast(build), "cell", "inner")
+    elif salt_buckets > 1:
+        key = salt_key or x_col
+        s = salt_buckets
+        probe_s = probe.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(key)), F.lit(s)).cast("int"))
+        build_s = build.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        ).withColumn("__salt", F.col("__salt").cast("int"))
+        joined = probe_s.join(build_s, ["cell", "__salt"], "inner").drop("__salt")
+    else:
+        joined = probe.join(build, "cell", "inner")
+
+    # bbox prefilter (codegen) then exact refine (one Arrow pass)
+    pre = joined.where(
+        (F.col(x_col) >= F.col("bbox_minx")) & (F.col(x_col) <= F.col("bbox_maxx"))
+        & (F.col(y_col) >= F.col("bbox_miny")) & (F.col(y_col) <= F.col("bbox_maxy"))
+    )
+    refined = pre.where(
+        st_contains_point(F.col(region_id_col), F.col("__geom"),
+                          F.col(x_col), F.col(y_col))
+    ).drop("__geom", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy")
+
+    if how == "inner":
+        return refined
+    if how == "left":
+        return points.join(
+            refined.select(*points.columns, F.col(region_id_col)),
+            points.columns, "left")
+    raise ValueError(f"unsupported how={how!r}")
+
+
+def detect_hot_cells(points_with_cell: DataFrame, threshold_ratio: float = 0.01,
+                     sample_fraction: float = 0.05) -> list[int]:
+    """Sampled hot-cell detection for choosing salt_buckets (SURVEY §4.3):
+    cells holding more than threshold_ratio of a 5% sample are 'hot'."""
+    sample = points_with_cell.sample(sample_fraction, seed=42)
+    counts = sample.groupBy("cell").count()
+    total = sample.count()
+    if total == 0:
+        return []
+    hot = counts.where(F.col("count") > threshold_ratio * total)
+    return [r["cell"] for r in hot.collect()]
