@@ -1,0 +1,147 @@
+"""Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §2-3).
+
+Schema per BASELINE.json input_hint: pages(url string, warc_ts timestamp,
+html binary, text string, lang string). Everything is a pure function of
+(seed, row index): html is a templated function of the url, so
+extract_text(html) is reproducible byte-for-byte; ~30% of rows embed a geo
+signal, Zipf-concentrated on ~20 hot cities so hot-cell salting is actually
+exercised; urls are unique.
+
+Generation happens distributed (spark.range -> mapInPandas with NumPy
+batches seeded per-row-index), so the same table can be synthesized at any
+scale without a driver bottleneck -- the sandbox stand-in for the 10^12-row
+Iceberg table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .gazetteer import CITIES
+from .geometry import polygon
+from .ewkb import encode_hex
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
+                "lang string")
+
+_LANGS = np.asarray(["en", "de", "fr", "es", "zh", "ja", "pt", "ru"])
+_LANG_W = np.asarray([0.45, 0.10, 0.09, 0.09, 0.08, 0.07, 0.07, 0.05])
+_TLDS = np.asarray([c[2] for c in CITIES] + ["com", "org", "net", "io"])
+_WORDS = np.asarray(
+    "the quick brown fox jumps over lazy dog data page web crawl spark "
+    "engine query tile cell index join region city market news sport "
+    "science travel food music art code open world river mountain".split()
+)
+
+_EPOCH_S = 1704067200  # 2024-01-01T00:00:00Z, fixed constant (no local-tz call)
+_SPAN_S = 63072000     # two 365-day years of seconds
+
+# Zipf weights over the first 20 gazetteer cities (the hot set)
+_HOT_N = 20
+_ZIPF_W = 1.0 / np.arange(1, _HOT_N + 1)
+_ZIPF_W = _ZIPF_W / _ZIPF_W.sum()
+
+
+def _batch(idx: np.ndarray, seed: int) -> pd.DataFrame:
+    n = len(idx)
+    # per-row deterministic streams: hash the row index
+    rng = np.random.default_rng(seed)
+    # draw per-row uniforms from a counter-based construction: SeedSequence
+    # spawn per batch would break row-determinism across partitionings, so
+    # derive everything from idx with splitmix-style mixing.
+    z = (idx.astype(np.uint64) + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+
+    def u(shift: int) -> np.ndarray:
+        """Deterministic uniform [0,1) stream #shift per row."""
+        zz = (z + np.uint64(shift)) * np.uint64(0xD1B54A32D192ED03)
+        zz = (zz ^ (zz >> np.uint64(29))) * np.uint64(0xFF51AFD7ED558CCD)
+        zz = zz ^ (zz >> np.uint64(32))
+        return (zz >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+    tld = _TLDS[(u(1) * len(_TLDS)).astype(np.int64)]
+    host_id = (u(2) * 1e6).astype(np.int64)
+    urls = np.asarray([
+        f"https://host{h}.{t}/p/{i}" for h, t, i in zip(host_id, tld, idx)
+    ])
+    ts = pd.to_datetime((_EPOCH_S + (u(3) * _SPAN_S)).astype(np.int64), unit="s")
+
+    lang = _LANGS[np.searchsorted(np.cumsum(_LANG_W), u(4), side="right").clip(0, len(_LANGS) - 1)]
+
+    # body text: 20-60 words drawn deterministically
+    wn = (20 + u(5) * 40).astype(np.int64)
+    sig_kind = u(6)  # <0.18 city mention, <0.30 coord pair, else none
+    city_pick = np.searchsorted(np.cumsum(_ZIPF_W), u(7), side="right").clip(0, _HOT_N - 1)
+
+    texts = []
+    htmls = []
+    for r in range(n):
+        wsel = _WORDS[int(z[r] % np.uint64(len(_WORDS))):]
+        base_words = np.resize(wsel, wn[r]).tolist()
+        if sig_kind[r] < 0.18:
+            city = CITIES[city_pick[r]]
+            base_words.insert(min(5, len(base_words)), city[0])
+        elif sig_kind[r] < 0.30:
+            city = CITIES[city_pick[r]]
+            jlat = city[4] + (u(8)[r] - 0.5) * 0.8
+            jlon = city[3] + (u(9)[r] - 0.5) * 0.8
+            base_words.insert(min(5, len(base_words)), f"{jlat:.5f}, {jlon:.5f}")
+        body = " ".join(base_words)
+        texts.append(body)
+        htmls.append(
+            (f"<html><head><title>page {idx[r]}</title>"
+             f"<script>var x=1;</script><style>.a{{}}</style></head>"
+             f"<body><h1>Doc &amp; {idx[r]}</h1><p>{body}</p>"
+             f"<!-- comment --></body></html>").encode("utf-8")
+        )
+    return pd.DataFrame({
+        "url": urls,
+        "warc_ts": ts,
+        "html": htmls,
+        "text": texts,
+        "lang": lang,
+    })
+
+
+def synth_pages(spark: SparkSession, n_rows: int, seed: int = 42,
+                partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic pages table. Row content depends only on
+    (seed, row index) -- identical at any partitioning or cluster size."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            yield _batch(pdf["id"].to_numpy(np.int64), seed)
+
+    return spark.range(0, n_rows, 1, parts).mapInPandas(gen, PAGES_SCHEMA)
+
+
+def synth_regions(spark: SparkSession, n_hot: int = _HOT_N, seed: int = 42,
+                  with_holes: bool = True) -> DataFrame:
+    """Polygon build side (FIXTURES.md §3): convex-ish rings around the hot
+    gazetteer cities, ~10% with one hole, as hex-EWKB srid=4326."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_hot):
+        city, country, _, cx, cy = CITIES[i]
+        rads = rng.uniform(0.8, 2.0)
+        ang = np.linspace(0, 2 * np.pi, 14, endpoint=False)
+        rr = rads * rng.uniform(0.7, 1.3, len(ang))
+        ring = [(float(cx + r * np.cos(a)), float(cy + r * np.sin(a)))
+                for a, r in zip(ang, rr)]
+        ring.append(ring[0])
+        rings = [ring]
+        if with_holes and i % 10 == 3:
+            hole = [(float(cx + 0.15 * np.cos(a)), float(cy + 0.15 * np.sin(a)))
+                    for a in ang]
+            hole.append(hole[0])
+            rings.append(hole)
+        g = polygon(rings, srid=4326)
+        rows.append((i, city, encode_hex(g)))
+    return spark.createDataFrame(rows, "region_id long, name string, geom_hex string")
