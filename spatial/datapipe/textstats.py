@@ -1,0 +1,114 @@
+"""Text analysis for training-data pipelines -- JVM-side where possible.
+
+Every function here is a deterministic column program (whole-stage codegen;
+no Python) except where noted. Designed for the ``documents`` table shape
+(doc_id, text, lang, source, n_chars) but any text column works.
+
+* ``token_count``   -- whitespace tokenization, plus a BPE-ish regex variant
+                       that splits punctuation from words.
+* ``quality_score`` -- [0,1] heuristic from length, alpha ratio, mean word
+                       length, and stopword hit-rate: the standard cheap
+                       pre-filter before expensive dedup/training.
+* ``lang_id``       -- stopword-overlap heuristic over 8 languages; pure
+                       column expressions (array_intersect against literal
+                       stopword arrays), argmax by chained greatest().
+* ``fingerprint64`` -- order-sensitive 64-bit document fingerprint:
+                       xxhash64 of the word-normalized text (rolling-hash
+                       equivalent class: same normalized content <=> same
+                       fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "für", "auf", "nicht"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "es", "por", "con"],
+    "pt": ["o", "a", "os", "de", "que", "e", "em", "é", "por", "com"],
+    "it": ["il", "la", "di", "che", "e", "in", "è", "per", "con", "non"],
+    "nl": ["de", "het", "een", "van", "en", "is", "dat", "op", "te", "niet"],
+    "ru": ["и", "в", "не", "на", "что", "я", "с", "это", "как", "по"],
+}
+
+
+def words(text: Column) -> Column:
+    """Lower-cased whitespace word array (empty array for blank text)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token proxy: words and punctuation runs count separately."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"(\s+|(?<=\W)(?=\w)|(?<=\w)(?=\W))"),
+        lambda w: w != "",
+    )
+    return F.size(toks)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    ws = words(text)
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    ws = words(text)
+    return F.when(
+        F.size(ws) > 0,
+        F.aggregate(ws, F.lit(0).cast("double"),
+                    lambda acc, w: acc + F.length(w)) / F.size(ws),
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    total = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-zÀ-ɏ ]", ""))
+    return F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """[0,1]; equal-weight blend of four bounded signals."""
+    n = token_count(text)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    mwl = mean_word_len(text)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return (len_score + wl_score + alpha_ratio(text) + stopword_ratio(text, lang)) / F.lit(4.0)
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax stopword-hit language; 'und' (undetermined) when no hits."""
+    ws = words(text)
+    scores = {}
+    for lang, sw_list in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in sw_list])
+        scores[lang] = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (deterministic priority order)
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint64(text: Column) -> Column:
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\W+", " ")
+    return F.xxhash64(normalized)
+
+
+def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_pred", lang_id(t))
+        .withColumn("fp64", fingerprint64(t))
+    )

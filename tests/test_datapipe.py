@@ -1,0 +1,205 @@
+"""Dedup / similarity / textstats / multimodal over the driver-generated
+documents + embeddings tables (TESTDATA.md) plus synthetic near-dups."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spatial.datapipe.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    make_jaccard_udf,
+    minhash_candidates,
+    minhash_dedup_pairs,
+    simhash_pairs,
+)
+from spatial.datapipe.multimodal import extract_features, synth_media
+from spatial.datapipe.similarity import (
+    assign_clusters,
+    cosine_topk_bruteforce,
+    ivf_topk,
+    train_centroids,
+)
+from spatial.datapipe.textstats import with_textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Docs with planted exact dups + near dups + distinct rows."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to find food and water")
+    rows = [
+        (0, base), (1, base),                       # exact dup pair
+        (2, base + " extra trailing clause here"),  # near dup of 0/1
+        (3, base.replace("quick", "rapid")),        # near dup
+        (4, "completely different text about spark query engines and "
+            "columnar execution with arrow batches and vectorized kernels"),
+        (5, "yet another unrelated document mentioning tiling geocoding "
+            "and web mercator projections for map rendering pipelines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(near_dup_docs):
+    kept = exact_dedup(near_dup_docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids and 1 not in ids  # keeps lowest id of the dup group
+    assert {2, 3, 4, 5} <= ids
+    groups = exact_dup_groups(near_dup_docs).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2
+
+
+def test_minhash_finds_near_dups(near_dup_docs):
+    pairs = minhash_dedup_pairs(near_dup_docs, threshold=0.5,
+                                num_perm=64, bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got          # exact dup: jaccard 1.0
+    assert (0, 2) in got or (1, 2) in got
+    # unrelated docs must not pair
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_exact_dup_jaccard_one(near_dup_docs):
+    jac = make_jaccard_udf(5)
+    df = near_dup_docs.alias("a").join(near_dup_docs.alias("b"),
+                                       F.col("a.doc_id") < F.col("b.doc_id"))
+    row = (df.where((F.col("a.doc_id") == 0) & (F.col("b.doc_id") == 1))
+           .select(jac(F.col("a.text"), F.col("b.text")).alias("j")).first())
+    assert row["j"] == 1.0
+
+
+def test_simhash_pairs(near_dup_docs):
+    pairs = simhash_pairs(near_dup_docs, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert not any((a in (4, 5)) ^ (b in (4, 5)) for a, b in got
+                   if (a, b) != (4, 5))
+
+
+def test_lsh_candidates_subset_property(docs):
+    """LSH candidates on real documents: every verified pair the full n^2
+    Jaccard finds above 0.9 must be produced by the candidate generator."""
+    sample = docs.limit(120).select("doc_id", "text")
+    pdf = sample.toPandas()
+    from spatial.datapipe.dedup import _hash_shingles
+
+    sets = {r.doc_id: set(_hash_shingles(r.text, 5).tolist())
+            for r in pdf.itertuples()}
+    want = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = sets[a] | sets[b]
+            if u and len(sets[a] & sets[b]) / len(u) >= 0.9:
+                want.add((a, b))
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_dedup_pairs(sample, threshold=0.9,
+                                        num_perm=128, bands=32).collect()}
+    assert want <= got
+
+
+def test_embedding_dup_pairs(spark):
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+    # plant near-dups: 100..103 are tiny perturbations of 0..3
+    for j in range(4):
+        rows.append((100 + j, (base[j] + rng.normal(scale=0.01, size=16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_dup_pairs(df, threshold=0.98, n_planes=12, n_tables=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(j, 100 + j) for j in range(4)} <= got
+
+
+def test_similarity_bruteforce_vs_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    V = np.asarray(pdf.embedding.tolist(), dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rng = np.random.default_rng(9)
+    Q = rng.normal(size=(5, V.shape[1]))
+    got = cosine_topk_bruteforce(emb, Q, k=7)
+    gm = {}
+    for r in got.collect():
+        gm.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = V @ Qn.T
+    for q in range(5):
+        order = np.lexsort((pdf.vec_id.to_numpy(), -S[:, q]))[:7]
+        want = [int(pdf.vec_id.iloc[i]) for i in order]
+        assert [v for _, v in sorted(gm[q])] == want
+
+
+def test_ivf_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    C = train_centroids(emb, n_clusters=8, sample_rows=500)
+    clustered = assign_clusters(emb, C).persist()
+    rng = np.random.default_rng(10)
+    # queries near actual corpus points => well-inside clusters
+    pdf = emb.limit(10).toPandas()
+    Q = np.asarray(pdf.embedding.tolist(), dtype=np.float64) + rng.normal(
+        scale=0.01, size=(10, len(pdf.embedding[0])))
+    exact = cosine_topk_bruteforce(emb, Q, k=5)
+    # synthetic embeddings are near-uniform (no real cluster structure), so
+    # probe 6/8 clusters; real corpora cluster and need far fewer probes
+    approx = ivf_topk(clustered, C, Q, k=5, nprobe=6)
+    em, am = {}, {}
+    for r in exact.collect():
+        em.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx.collect():
+        am.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(em[q] & am.get(q, set())) / len(em[q]) for q in em]
+    assert np.mean(recalls) >= 0.8
+
+
+def test_textstats(docs):
+    out = with_textstats(docs).select(
+        "doc_id", "n_tokens", "quality", "lang_pred", "fp64").limit(200).collect()
+    assert all(r["n_tokens"] > 0 for r in out)
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+    assert all(r["fp64"] is not None for r in out)
+
+
+def test_textstats_langid(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was happy with the day"),
+        (2, "der hund ist gross und das haus ist nicht klein von der stadt"),
+        (3, "le chat est dans la maison et les enfants sont pour le jardin"),
+        (4, "el perro es grande y la casa que es de los vecinos en madrid"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in with_textstats(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_textstats_stays_jvm_side(docs):
+    plan = with_textstats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 60)
+    feats = extract_features(media, fake_decode=True)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(r["decode_ok"] for r in rows)
+    assert all(len(r["feat"]) == 16 for r in rows)
+    assert all(abs(sum(r["feat"]) - 1.0) < 1e-9 for r in rows)
+    # determinism
+    again = extract_features(media, fake_decode=True).collect()
+    assert [r["feat"] for r in again] == [r["feat"] for r in rows]
+    # real decode path is an explicit stub
+    with pytest.raises(NotImplementedError):
+        from spatial.datapipe.multimodal import decode_image
+        decode_image(b"xx", {"width": 4, "height": 4})
