@@ -1,0 +1,72 @@
+"""Local re-implementation of the driver's verify: every queries() entry runs
+at sf0.01; SQL-oracled entries must match DuckDB on row count, column names,
+and order-insensitive values (the CORRECTNESS gate)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return v
+    if hasattr(v, "is_integer") and not isinstance(v, (int, float)):  # Decimal
+        return float(v)
+    return v
+
+
+def _rows(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in data)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["tile_x", "tile_y", "n_points"]
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    sdf = q(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_data = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(sql)
+    d_cols = rel.columns
+    d_data = rel.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_data) == len(d_data), f"{name}: row count {len(s_data)} vs {len(d_data)}"
+    sr = _rows(s_cols, s_data)
+    dr = _rows(d_cols, d_data)
+    mismatches = [(a, b) for a, b in zip(sr, dr) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(entry_mod.queries())
+                                        - set(entry_mod.oracle_sql())))
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    # every rows-only operator must actually produce rows on this data
+    assert n > 0, f"{name} produced no rows at sf0.01"
