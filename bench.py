@@ -1,0 +1,147 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "pages_per_sec": <flagship>}
+
+The flagship number (pages/sec through the full extract->geocode->tile->
+spatial-join pipeline on a synthetic Common-Crawl-shaped pages table sized to
+the sf) is the metric BASELINE.json defines; per-query timings localize
+regressions. Protocol (BASELINE.md): fixed seed, one warm-up of the flagship
+at small n, each timed section run once (the suite is large enough that
+medians-of-3 would triple a multi-minute run; round-over-round comparability
+comes from the fixed seed + fixed plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spatial-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
+    from spatial.ewkb import ewkb_decode
+    from spatial.join import spatial_join
+    from spatial.pipeline import enrich_pages
+    from spatial.synth import synth_pages, synth_regions
+    from spatial.datapipe.dedup import minhash_dedup_pairs
+    from spatial.datapipe.similarity import cosine_topk_bruteforce
+    from spatial.datapipe.textstats import with_textstats
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- flagship: pages pipeline throughput --------------------------------
+    regions = synth_regions(spark).withColumn(
+        "geom", ewkb_decode("geom_hex")).select("region_id", "geom")
+    regions.count()  # materialize small side outside the timed section
+
+    # warm-up (JIT, Python workers, Arrow) on a small slice
+    synth_pages(spark, 2000).count()
+    warm = enrich_pages(synth_pages(spark, 2000), 12)
+    spatial_join(warm, regions, x_col="lon", y_col="lat").count()
+
+    pages = synth_pages(spark, n_pages).persist()
+    n_rows = pages.count()  # generation is not part of the pipeline timing
+
+    def flagship():
+        enriched = enrich_pages(pages, 12)
+        joined = spatial_join(enriched, regions, x_col="lon", y_col="lat")
+        return joined.count()
+
+    join_rows = timed("flagship_pipeline", flagship)
+    pages_per_sec = round(n_rows / timings["flagship_pipeline"], 1)
+    pages.unpersist()
+
+    # ---- operator benchmarks on the sf tables --------------------------------
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    timed("q1_pricing_summary",
+          lambda: entry_mod.q1_pricing_summary(spark, sf_dir).collect())
+    timed("tile_rollup",
+          lambda: entry_mod.q_tile_rollup(spark, sf_dir).count())
+    timed("s2_cell_rollup",
+          lambda: entry_mod.q_s2_cell_rollup(spark, sf_dir).count())
+    timed("ewkb_roundtrip",
+          lambda: entry_mod.q_ewkb_roundtrip(spark, sf_dir).count())
+    timed("knn_grid", lambda: entry_mod.q_knn_grid(spark, sf_dir).count())
+    timed("textstats", lambda: with_textstats(docs).count())
+    timed("minhash_dedup",
+          lambda: minhash_dedup_pairs(
+              docs.select("doc_id", "text"), threshold=0.7,
+              num_perm=64, bands=16).count())
+    rng = np.random.default_rng(42)
+    dim = len(emb.select("embedding").first()[0])
+    Q = rng.normal(size=(16, dim))
+    timed("ann_bruteforce",
+          lambda: cosine_topk_bruteforce(emb, Q, k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": ("spatial-join + tile-assignment pipeline throughput "
+                   "(pages/sec) + headline operator suite"),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "pages_per_sec": pages_per_sec,
+        "pipeline_pages": n_rows,
+        "pipeline_join_rows": join_rows,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES",
+                                 str(int(100_000 * max(_sf_of(sf_dir), 0.01) / 0.1))))
+    spark = build_spark(cpus)
+    try:
+        result = run_benchmarks(spark, sf_dir, n_pages)
+        result["cpus"] = cpus
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -5,24 +5,28 @@ expansion"); the reference's only gesture at this is the lexicographic
 ``Ord Point`` "for use in convex hull algorithm" comment
 (/root/reference/src/Database/Postgis/Vector.hs:10-16).
 
-Algorithm (bounded driver-side loop of DataFrame ops, SURVEY.md §2.1.6):
+Algorithm (SURVEY.md §2.1.6), sized for "big points table x broadcast-sized
+query set" -- the shape that occurs in practice (reverse-geocode probes,
+POI lookups):
 
-1. index both sides at a fixed cell level L;
-2. round r = 1, 2, ...: explode each *unresolved* query to its Chebyshev
-   cell disk of radius r, equi-join to points on cell, take per-query top-k
-   by great-circle distance (window row_number);
-3. a query resolves when it has >= k candidates AND its kth distance is
+1. index the points at a fixed cell level L once (persisted: every round
+   reuses the same partitioned candidates, no re-scan);
+2. the query set is collected to the driver (it is broadcast-sized by
+   assumption) so round control costs zero Spark jobs;
+3. rounds with DOUBLING Chebyshev radius r = 1, 2, 4, ...: explode each
+   unresolved query to its cell disk, broadcast-join to the points, window
+   top-k by great-circle distance -- exactly ONE Spark job per round;
+4. a query resolves when it has >= k candidates whose kth distance is
    <= (r-1)/2^L * R_earth * SAFETY: any point outside disk r is at least
    (r-1) cell-min-spans away angularly (cells.cell_size_degrees bound), so
    nothing outside the disk can beat the current kth. SAFETY=0.9 absorbs the
    face-seam chart distortion of the linear st projection;
-4. queries still unresolved after max_rounds fall back to an exact
-   brute-force crossJoin -- correctness is never sacrificed, and at scale
-   only a vanishing tail (queries in empty deserts) pays it.
+5. queries still unresolved after the radius budget fall back to one exact
+   brute-force pass -- correctness is never sacrificed; at scale only
+   queries in empty deserts pay it.
 
-At 100TB the probe side (points) is the big table and never moves except one
-hash exchange on cell; the exploded query side is small and explicitly
-broadcast, so every round is a broadcast hash join + one window.
+The per-round result sets are k rows per query (tiny), so they are collected
+rather than unioned into an ever-deeper plan.
 """
 
 from __future__ import annotations
@@ -31,22 +35,23 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
 
-from .cells import cell_from_lonlat, make_cell_of, neighbors_disk
-from .kernels import EARTH_RADIUS_M, haversine_col
+from .cells import cell_from_lonlat, neighbors_disk
+from .kernels import EARTH_RADIUS_M, haversine_col, haversine_m
 
 SAFETY = 0.9
 
 
-def _make_disk_udf(r: int):
-    @pandas_udf(ArrayType(LongType()))
-    def disk_udf(cell: pd.Series) -> pd.Series:
-        disks = neighbors_disk(cell.to_numpy(np.int64).astype(np.uint64), r)
-        return pd.Series([d.astype(np.int64).tolist() for d in disks])
+def _index_points(points, point_x, point_y, point_id, level):
+    from .cells import make_cell_of
 
-    return disk_udf
+    cell_of = make_cell_of(level)
+    return points.select(
+        F.col(point_id).alias("id"),
+        F.col(point_x).alias("px"),
+        F.col(point_y).alias("py"),
+        cell_of(F.col(point_x), F.col(point_y)).alias("cell"),
+    )
 
 
 def knn_join(
@@ -64,77 +69,91 @@ def knn_join(
 ) -> DataFrame:
     """Top-k nearest points per query: (query_id, id, rank, dist_m)."""
     spark = points.sparkSession
-    cell_of = make_cell_of(level)
-    pts = points.select(
-        F.col(point_id).alias("id"),
-        F.col(point_x).alias("px"),
-        F.col(point_y).alias("py"),
-        cell_of(F.col(point_x), F.col(point_y)).alias("cell"),
-    )
-    qrs = queries.select(
+    pts = _index_points(points, point_x, point_y, point_id, level).persist()
+
+    qrows = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_x).alias("qx"),
         F.col(query_y).alias("qy"),
-        cell_of(F.col(query_x), F.col(query_y)).alias("qcell"),
-    )
+    ).collect()
+    if not qrows:
+        pts.unpersist()
+        return spark.createDataFrame([], "query_id long, id long, rank int, dist_m double")
 
-    cell_span_m = EARTH_RADIUS_M / (1 << level)  # lower bound per cell step
-    win = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("id").asc())
+    qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
+    qx = np.asarray([r["qx"] for r in qrows], dtype=np.float64)
+    qy = np.asarray([r["qy"] for r in qrows], dtype=np.float64)
+    qcell = cell_from_lonlat(qx, qy, level)
 
-    unresolved = qrs
-    resolved_parts: list[DataFrame] = []
+    cell_span_m = EARTH_RADIUS_M / (1 << level)
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("dist_m").asc(), F.col("id").asc())
 
-    for r in range(1, max_rounds + 1):
-        if unresolved.isEmpty():
-            break
-        disk_udf = _make_disk_udf(r)
-        exploded = unresolved.withColumn("cell", F.explode(disk_udf("qcell")))
-        cand = pts.join(F.broadcast(exploded), "cell", "inner")
-        scored = cand.withColumn(
-            "dist_m",
-            haversine_col(F.col("px"), F.col("py"), F.col("qx"), F.col("qy")),
-        )
+    unresolved = np.arange(len(qids))
+    results: dict[int, list] = {}
+
+    r = 1
+    for _ in range(max_rounds):
+        # driver-side disk computation for the unresolved queries
+        disks = neighbors_disk(qcell[unresolved], r)
+        explode_rows = [
+            (int(qids[qi]), float(qx[qi]), float(qy[qi]), int(c))
+            for qi, d in zip(unresolved, disks)
+            for c in d.astype(np.int64)
+        ]
+        exploded = spark.createDataFrame(
+            explode_rows, "query_id long, qx double, qy double, cell long")
         topk = (
-            scored.withColumn("rank", F.row_number().over(win))
-            .where(F.col("rank") <= k)
-        )
-        guaranteed_m = (r - 1) * cell_span_m * SAFETY
-        stats = topk.groupBy("query_id").agg(
-            F.count("*").alias("n"), F.max("dist_m").alias("kth")
-        )
-        done_ids = stats.where(
-            (F.col("n") >= k) & (F.col("kth") <= F.lit(guaranteed_m))
-        ).select("query_id")
-        done_rows = topk.join(F.broadcast(done_ids), "query_id", "left_semi")
-        resolved_parts.append(
-            done_rows.select("query_id", "id", "rank", "dist_m").persist()
-        )
-        resolved_parts[-1].count()
-        unresolved = unresolved.join(F.broadcast(done_ids), "query_id", "left_anti")
-
-    # exact fallback for the unresolved tail
-    if not unresolved.isEmpty():
-        brute = (
-            pts.crossJoin(F.broadcast(unresolved.select("query_id", "qx", "qy")))
+            pts.join(F.broadcast(exploded), "cell", "inner")
             .withColumn("dist_m", haversine_col(F.col("px"), F.col("py"),
                                                 F.col("qx"), F.col("qy")))
             .withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k)
             .select("query_id", "id", "rank", "dist_m")
+            .collect()
         )
-        resolved_parts.append(brute)
+        by_q: dict[int, list] = {}
+        for row in topk:
+            by_q.setdefault(row["query_id"], []).append(row)
+        guaranteed_m = (r - 1) * cell_span_m * SAFETY
+        still = []
+        for qi in unresolved:
+            rows = by_q.get(int(qids[qi]), [])
+            if len(rows) >= k and max(x["dist_m"] for x in rows) <= guaranteed_m:
+                results[int(qids[qi])] = rows
+            else:
+                still.append(qi)
+        unresolved = np.asarray(still, dtype=np.int64)
+        if len(unresolved) == 0:
+            break
+        r *= 2
 
-    if not resolved_parts:
-        return spark.createDataFrame([], "query_id long, id long, rank int, dist_m double")
-    out = resolved_parts[0]
-    for p in resolved_parts[1:]:
-        out = out.unionByName(p)
-    return out
+    if len(unresolved) > 0:
+        brute_q = spark.createDataFrame(
+            [(int(qids[i]), float(qx[i]), float(qy[i])) for i in unresolved],
+            "query_id long, qx double, qy double")
+        brute = (
+            pts.crossJoin(F.broadcast(brute_q))
+            .withColumn("dist_m", haversine_col(F.col("px"), F.col("py"),
+                                                F.col("qx"), F.col("qy")))
+            .withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("query_id", "id", "rank", "dist_m")
+            .collect()
+        )
+        for row in brute:
+            results.setdefault(row["query_id"], []).append(row)
+
+    pts.unpersist()
+    flat = [(qid, row["id"], row["rank"], row["dist_m"])
+            for qid, rows in results.items() for row in rows]
+    return spark.createDataFrame(
+        flat, "query_id long, id long, rank int, dist_m double")
 
 
 def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int, **cols) -> DataFrame:
-    """Exact reference implementation (used as the test oracle and as the
-    right plan when the query side is trivially small)."""
+    """Exact reference implementation (test oracle; also the right plan when
+    the query side is trivially small)."""
     point_x = cols.get("point_x", "x")
     point_y = cols.get("point_y", "y")
     point_id = cols.get("point_id", "id")
