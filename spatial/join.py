@@ -120,6 +120,81 @@ def pick_level(regions: DataFrame, geom_col: str = "geom") -> int:
     return level_for_extent(float(ext), target_cells_per_axis=4)
 
 
+class SpatialJoinPlan:
+    """Prepare-once / join-many spatial join.
+
+    The polygon (dim) side is static across probe batches in every real
+    pipeline, so its expensive parts -- cover-cells explode, persist, sizing
+    count, strategy choice -- happen exactly once here; each ``join`` call
+    then contributes only distributed probe-side work. (Before this split the
+    build preparation re-ran per call and showed up as ~seconds of *serial*
+    time per job in the N-vs-4N scaling measurements.)
+    """
+
+    def __init__(
+        self,
+        regions: DataFrame,
+        region_id_col: str = "region_id",
+        geom_col: str = "geom",
+        level: Optional[int] = None,
+        broadcast_threshold: int = 2_000_000,
+        salt_buckets: int = 0,
+    ):
+        if level is None:
+            level = pick_level(regions, geom_col)
+        self.level = level
+        self.region_id_col = region_id_col
+        self.salt_buckets = salt_buckets
+        self.build = prepare_regions(regions, level, geom_col, region_id_col).persist()
+        self.n_build = self.build.count()
+        self.use_broadcast = (
+            self.n_build <= broadcast_threshold and salt_buckets == 0)
+        from .cells import make_cell_of
+
+        self._cell_of = make_cell_of(level)
+
+    def join(self, points: DataFrame, x_col: str = "x", y_col: str = "y",
+             salt_key: Optional[str] = None, how: str = "inner") -> DataFrame:
+        region_id_col = self.region_id_col
+        probe = points.withColumn("cell", self._cell_of(F.col(x_col), F.col(y_col)))
+        build = self.build
+
+        if self.use_broadcast:
+            joined = probe.join(F.broadcast(build), "cell", "inner")
+        elif self.salt_buckets > 1:
+            key = salt_key or x_col
+            s = self.salt_buckets
+            probe_s = probe.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col(key)), F.lit(s)).cast("int"))
+            build_s = build.withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+            ).withColumn("__salt", F.col("__salt").cast("int"))
+            joined = probe_s.join(build_s, ["cell", "__salt"], "inner").drop("__salt")
+        else:
+            joined = probe.join(build, "cell", "inner")
+
+        # bbox prefilter (codegen) then exact refine (one Arrow pass)
+        pre = joined.where(
+            (F.col(x_col) >= F.col("bbox_minx")) & (F.col(x_col) <= F.col("bbox_maxx"))
+            & (F.col(y_col) >= F.col("bbox_miny")) & (F.col(y_col) <= F.col("bbox_maxy"))
+        )
+        refined = pre.where(
+            st_contains_point(F.col(region_id_col), F.col("__geom"),
+                              F.col(x_col), F.col(y_col))
+        ).drop("__geom", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy")
+
+        if how == "inner":
+            return refined
+        if how == "left":
+            return points.join(
+                refined.select(*points.columns, F.col(region_id_col)),
+                points.columns, "left")
+        raise ValueError(f"unsupported how={how!r}")
+
+    def unpersist(self):
+        self.build.unpersist()
+
+
 def spatial_join(
     points: DataFrame,
     regions: DataFrame,
@@ -133,57 +208,14 @@ def spatial_join(
     salt_key: Optional[str] = None,
     how: str = "inner",
 ) -> DataFrame:
-    """Join every point to every region whose polygon contains it.
+    """One-shot convenience wrapper: prepare a plan and join once.
 
-    Returns points columns + region_id + cell. ``how`` in {"inner",
-    "left_semi_exists" (adds a boolean), "left"}.
-    """
-    if level is None:
-        level = pick_level(regions, geom_col)
-    from .cells import make_cell_of
-
-    cell_of = make_cell_of(level)
-    build = prepare_regions(regions, level, geom_col, region_id_col)
-    probe = points.withColumn("cell", cell_of(F.col(x_col), F.col(y_col)))
-
-    # --- physical strategy selection -------------------------------------
-    # The exploded build side is reused by the join itself, so persist before
-    # the sizing count (one pass, not two).
-    build = build.persist()
-    n_build = build.count()
-    use_broadcast = n_build <= broadcast_threshold and salt_buckets == 0
-
-    if use_broadcast:
-        joined = probe.join(F.broadcast(build), "cell", "inner")
-    elif salt_buckets > 1:
-        key = salt_key or x_col
-        s = salt_buckets
-        probe_s = probe.withColumn(
-            "__salt", F.pmod(F.xxhash64(F.col(key)), F.lit(s)).cast("int"))
-        build_s = build.withColumn(
-            "__salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-        ).withColumn("__salt", F.col("__salt").cast("int"))
-        joined = probe_s.join(build_s, ["cell", "__salt"], "inner").drop("__salt")
-    else:
-        joined = probe.join(build, "cell", "inner")
-
-    # bbox prefilter (codegen) then exact refine (one Arrow pass)
-    pre = joined.where(
-        (F.col(x_col) >= F.col("bbox_minx")) & (F.col(x_col) <= F.col("bbox_maxx"))
-        & (F.col(y_col) >= F.col("bbox_miny")) & (F.col(y_col) <= F.col("bbox_maxy"))
-    )
-    refined = pre.where(
-        st_contains_point(F.col(region_id_col), F.col("__geom"),
-                          F.col(x_col), F.col(y_col))
-    ).drop("__geom", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy")
-
-    if how == "inner":
-        return refined
-    if how == "left":
-        return points.join(
-            refined.select(*points.columns, F.col(region_id_col)),
-            points.columns, "left")
-    raise ValueError(f"unsupported how={how!r}")
+    Repeated joins against the same regions should build a SpatialJoinPlan
+    and reuse it."""
+    plan = SpatialJoinPlan(
+        regions, region_id_col=region_id_col, geom_col=geom_col, level=level,
+        broadcast_threshold=broadcast_threshold, salt_buckets=salt_buckets)
+    return plan.join(points, x_col=x_col, y_col=y_col, salt_key=salt_key, how=how)
 
 
 def detect_hot_cells(points_with_cell: DataFrame, threshold_ratio: float = 0.01,

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .ewkb import ewkb_decode
 from .geocode import geocode_page
-from .join import spatial_join
+from .join import SpatialJoinPlan
 from .textextract import extract_text
 from .tiles import tile_assign
 
@@ -100,6 +100,13 @@ def run_pipeline(
     regions_geom = regions.withColumn("geom", ewkb_decode("geom_hex")).select(
         "region_id", "geom"
     )
+    # prepare the polygon build side ONCE; every batch reuses it
+    plan = SpatialJoinPlan(
+        regions_geom,
+        level=cfg.cell_level,
+        broadcast_threshold=cfg.broadcast_threshold,
+        salt_buckets=cfg.salt_buckets,
+    )
     done = committed_batches(cfg.out_dir)
     ran = []
     for batch in range(cfg.n_batches):
@@ -110,16 +117,7 @@ def run_pipeline(
             F.pmod(F.xxhash64("url"), F.lit(cfg.n_batches)) == batch
         )
         enriched = enrich_pages(batch_pages, cfg.zoom)
-        joined = spatial_join(
-            enriched,
-            regions_geom,
-            x_col="lon",
-            y_col="lat",
-            level=cfg.cell_level,
-            broadcast_threshold=cfg.broadcast_threshold,
-            salt_buckets=cfg.salt_buckets,
-            salt_key="url",
-        )
+        joined = plan.join(enriched, x_col="lon", y_col="lat", salt_key="url")
         join_out = joined.select(
             "url", "region_id", "cell", F.col("lon").alias("x"), F.col("lat").alias("y")
         )

@@ -1,0 +1,96 @@
+"""Structured Streaming surface: incremental ingest + event-time analytics.
+
+The reference is a pure batch codec library (no streaming of any kind); the
+north rule's job is batch too. This module covers the streaming category for
+the engine (SURVEY.md §2.1.6): the same enrichment/tiling kernels applied
+incrementally, plus watermarked event-time windows for late data.
+
+* ``stream_pages``        -- file-source stream over an Iceberg/parquet pages
+                             directory; with ``availableNow`` it processes the
+                             current snapshot incrementally and stops: the
+                             standard catch-up ingest pattern.
+* ``streaming_tile_rollup`` -- per-micro-batch tile assignment + running
+                             counts (complete/update mode): the incremental
+                             form of the flagship tile rollup. All kernels are
+                             the batch ones -- Structured Streaming reuses the
+                             same DataFrame program.
+* ``windowed_event_counts`` -- tumbling event-time windows with a watermark:
+                             late rows beyond the watermark are dropped,
+                             within it they update their window -- exactly
+                             Spark's late-data contract.
+* ``sessionize_stream``   -- per-user session windows via
+                             ``session_window`` (stateful, watermark-gated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .synth import PAGES_SCHEMA
+from .tiles import tile_x, tile_y
+
+
+def stream_pages(spark: SparkSession, path: str,
+                 max_files_per_trigger: int = 16) -> DataFrame:
+    """readStream over a parquet pages table (schema per input_hint)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_tile_rollup(pages_stream: DataFrame, zoom: int = 8) -> DataFrame:
+    """Incremental tile counts over a geocoded pages stream."""
+    from .geocode import geocode_page
+
+    located = geocode_page(pages_stream).where(F.col("lon").isNotNull())
+    return (
+        located.withColumn("tile_x", tile_x(F.col("lon"), zoom))
+        .withColumn("tile_y", tile_y(F.col("lat"), zoom))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def windowed_event_counts(events_stream: DataFrame,
+                          ts_col: str = "warc_ts",
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time windows with late-data handling."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("lang"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "lang", "n_pages")
+    )
+
+
+def sessionize_stream(events_stream: DataFrame, ts_col: str, key_col: str,
+                      gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Stateful session windows keyed by ``key_col`` (gap-based)."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"), key_col, "n_events")
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                      out_table_name: str, output_mode: str = "update") -> None:
+    """Process everything currently available, then stop (catch-up ingest).
+    Results land in an in-memory table named ``out_table_name``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out_table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

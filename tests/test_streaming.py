@@ -1,0 +1,68 @@
+"""Structured Streaming: incremental tile rollup equals the batch rollup;
+watermarked windows; stateful sessionization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatial.streaming import (
+    run_available_now,
+    sessionize_stream,
+    stream_pages,
+    streaming_tile_rollup,
+    windowed_event_counts,
+)
+from spatial.synth import synth_pages
+from spatial.geocode import geocode_page
+from spatial.tiles import tile_assign
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_stream")
+    # several files so maxFilesPerTrigger yields multiple micro-batches
+    synth_pages(spark, 3000, partitions=6).write.mode("overwrite").parquet(str(d / "pages"))
+    return str(d / "pages")
+
+
+def test_streaming_tile_rollup_matches_batch(spark, pages_dir, tmp_path):
+    stream = stream_pages(spark, pages_dir, max_files_per_trigger=2)
+    rollup = streaming_tile_rollup(stream, zoom=6)
+    run_available_now(rollup, str(tmp_path / "ckpt"), "tiles_stream",
+                      output_mode="complete")
+    got = {
+        (r["tile_x"], r["tile_y"]): r["n_pages"]
+        for r in spark.sql("select * from tiles_stream").collect()
+    }
+    batch = geocode_page(spark.read.parquet(pages_dir)).where(F.col("lon").isNotNull())
+    batch = tile_assign(batch, "lon", "lat", 6)
+    want = {
+        (r["tile_x"], r["tile_y"]): r["cnt"]
+        for r in batch.groupBy("tile_x", "tile_y").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+
+
+def test_windowed_counts_with_watermark(spark, pages_dir, tmp_path):
+    stream = stream_pages(spark, pages_dir)
+    win = windowed_event_counts(stream, ts_col="warc_ts",
+                                window="30 days", watermark="10 days")
+    run_available_now(win, str(tmp_path / "ckpt2"), "win_stream",
+                      output_mode="append")
+    rows = spark.sql("select * from win_stream").collect()
+    # append mode emits only watermark-closed windows; the table exists and
+    # the plan executed with event-time state (count may be 0 for one pass)
+    assert rows is not None
+    batch_total = spark.read.parquet(pages_dir).count()
+    assert sum(r["n_pages"] for r in rows) <= batch_total
+
+
+def test_sessionize_stream(spark, pages_dir, tmp_path):
+    stream = stream_pages(spark, pages_dir)
+    sess = sessionize_stream(stream, ts_col="warc_ts", key_col="lang",
+                             gap="12 hours", watermark="1 hour")
+    run_available_now(sess, str(tmp_path / "ckpt3"), "sess_stream",
+                      output_mode="complete")
+    rows = spark.sql("select * from sess_stream").collect()
+    assert len(rows) > 0
+    assert all(r["n_events"] >= 1 for r in rows)
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
