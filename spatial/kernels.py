@@ -22,6 +22,7 @@ engine-owned kernels, specified from first principles:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -143,3 +144,147 @@ def dump_points(df: DataFrame, geom_col: str = "geom") -> DataFrame:
         "*",
         F.posexplode(F.arrays_zip(g["xs"], g["ys"])).alias("point_idx", "_pt"),
     ).withColumn("pt_x", F.col("_pt.xs")).withColumn("pt_y", F.col("_pt.ys")).drop("_pt")
+
+
+# ---------------------------------------------------------------------------
+# validity + hull kernels (the reference documents ring validity as prose
+# only, Geometry.hs:13-17, and never implemented its intended convex hull,
+# Vector.hs:10-16 -- both ship here as first-class diagnostics kernels)
+# ---------------------------------------------------------------------------
+
+def _segments_intersect(p1, p2, p3, p4) -> np.ndarray:
+    """Vectorized proper-intersection test for segment arrays (broadcast):
+    p* are (x, y) tuples of arrays; returns bool array."""
+    def orient(ax, ay, bx, by, cx, cy):
+        return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+    (x1, y1), (x2, y2), (x3, y3), (x4, y4) = p1, p2, p3, p4
+    d1 = orient(x3, y3, x4, y4, x1, y1)
+    d2 = orient(x3, y3, x4, y4, x2, y2)
+    d3 = orient(x1, y1, x2, y2, x3, y3)
+    d4 = orient(x1, y1, x2, y2, x4, y4)
+    return (d1 != d2) & (d3 != d4) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+
+def ring_self_intersects(xs, ys) -> bool:
+    """True if the (closed) ring has a proper self-intersection.
+
+    O(E^2) vectorized pair test -- rings are small (tens to hundreds of
+    vertices); adjacent edges share endpoints and are excluded by the
+    proper-intersection (strict orientation) test."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) < 4:
+        return False
+    if xs[0] != xs[-1] or ys[0] != ys[-1]:
+        xs = np.append(xs, xs[0])
+        ys = np.append(ys, ys[0])
+    x1, y1 = xs[:-1], ys[:-1]
+    x2, y2 = xs[1:], ys[1:]
+    n = len(x1)
+    i, j = np.triu_indices(n, k=2)
+    # wrap-around neighbors (first & last edge) share a vertex: drop the pair
+    keep = ~((i == 0) & (j == n - 1))
+    i, j = i[keep], j[keep]
+    hits = _segments_intersect(
+        (x1[i], y1[i]), (x2[i], y2[i]), (x1[j], y1[j]), (x2[j], y2[j]))
+    return bool(hits.any())
+
+
+def geom_is_valid(xs, ys, ring_offsets) -> bool:
+    """Cheap validity: every ring closed (>= 4 points incl. closure) and
+    free of proper self-intersections. (Ring containment/tangency rules from
+    Geometry.hs:13-17 are diagnostics beyond this kernel's scope.)"""
+    ring_offsets = [int(v) for v in ring_offsets]
+    for r in range(len(ring_offsets) - 1):
+        a, b = ring_offsets[r], ring_offsets[r + 1]
+        if b - a < 4:
+            return False
+        if xs[a] != xs[b - 1] or ys[a] != ys[b - 1]:
+            return False
+        if ring_self_intersects(xs[a:b], ys[a:b]):
+            return False
+    return True
+
+
+def convex_hull(xs, ys) -> tuple:
+    """Andrew's monotone chain; returns (hull_xs, hull_ys) counter-clockwise,
+    closed (first == last). The reference's Ord Point lexicographic compare
+    (Vector.hs:10-16) exists exactly to feed this sort."""
+    pts = np.unique(np.stack([np.asarray(xs, dtype=np.float64),
+                              np.asarray(ys, dtype=np.float64)], axis=1), axis=0)
+    if len(pts) == 1:
+        return pts[:, 0].tolist(), pts[:, 1].tolist()
+    # lexicographic sort (x, then y) -- the Ord Point order
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((p[0], p[1]))
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    hull.append(hull[0])
+    return [p[0] for p in hull], [p[1] for p in hull]
+
+
+def st_isvalid_udf():
+    """pandas_udf: GEOMETRY -> boolean validity."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def st_isvalid(geom: pd.DataFrame) -> pd.Series:
+        out = []
+        for row in geom.to_dict("records"):
+            if row.get("xs") is None:
+                out.append(None)
+                continue
+            out.append(geom_is_valid(row["xs"], row["ys"], row["ring_offsets"]))
+        return pd.Series(out)
+
+    return st_isvalid
+
+
+def st_convexhull_udf():
+    """pandas_udf: GEOMETRY -> GEOMETRY (polygon hull of all coordinates)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .geometry import GEOMETRY, GEOMETRY_FIELDS, POLYGON
+
+    @pandas_udf(GEOMETRY)
+    def st_convexhull(geom: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for row in geom.to_dict("records"):
+            if row.get("xs") is None or len(row["xs"]) == 0:
+                rows.append({f: None for f in GEOMETRY_FIELDS})
+                continue
+            hx, hy = convex_hull(row["xs"], row["ys"])
+            srid = row.get("srid")
+            rows.append({
+                "gtype": POLYGON,
+                "srid": None if srid is None or (isinstance(srid, float) and np.isnan(srid)) else int(srid),
+                "has_z": False, "has_m": False,
+                "xs": list(hx), "ys": list(hy), "zs": None, "ms": None,
+                "ring_offsets": [0, len(hx)], "part_offsets": [0, 1],
+            })
+        return pd.DataFrame(rows, columns=GEOMETRY_FIELDS)
+
+    return st_convexhull
+
+
+def st_dwithin_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+                   meters: float) -> Column:
+    """Great-circle within-distance predicate (pure column expr)."""
+    return haversine_col(lon1, lat1, lon2, lat2) <= F.lit(float(meters))

@@ -121,3 +121,62 @@ def test_dump_points(spark):
     rows = dump_points(df).select("point_idx", "pt_x", "pt_y").collect()
     assert [(r["point_idx"], r["pt_x"], r["pt_y"]) for r in rows] == [
         (0, 1.0, 2.0), (1, 3.0, 4.0), (2, 5.0, 6.0)]
+
+
+def test_ring_self_intersects():
+    from spatial.kernels import ring_self_intersects
+
+    # bowtie
+    assert ring_self_intersects([0, 2, 2, 0, 0], [0, 2, 0, 2, 0])
+    # simple square
+    assert not ring_self_intersects([0, 1, 1, 0, 0], [0, 0, 1, 1, 0])
+    # concave but simple
+    assert not ring_self_intersects([0, 4, 4, 2, 4, 4, 0, 0],
+                                    [0, 0, 1, 2, 3, 4, 4, 0])
+
+
+def test_geom_is_valid():
+    from spatial.kernels import geom_is_valid
+
+    assert geom_is_valid(SQUARE.xs, SQUARE.ys, SQUARE.ring_offsets)
+    assert geom_is_valid(SQUARE_HOLE.xs, SQUARE_HOLE.ys, SQUARE_HOLE.ring_offsets)
+    open_ring = polygon([[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]])
+    assert not geom_is_valid(open_ring.xs, open_ring.ys, open_ring.ring_offsets)
+    bowtie = polygon([[(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]])
+    assert not geom_is_valid(bowtie.xs, bowtie.ys, bowtie.ring_offsets)
+
+
+def test_convex_hull():
+    from spatial.kernels import convex_hull
+
+    rng = np.random.default_rng(12)
+    pts = rng.uniform(-10, 10, size=(200, 2))
+    hx, hy = convex_hull(pts[:, 0], pts[:, 1])
+    assert (hx[0], hy[0]) == (hx[-1], hy[-1])
+    # every input point is inside or on the hull: use PIP with tiny shrink
+    from spatial.kernels import pip_even_odd
+
+    cx, cy = np.mean(hx[:-1]), np.mean(hy[:-1])
+    grown_x = [cx + (x - cx) * 1.0001 for x in hx]
+    grown_y = [cy + (y - cy) * 1.0001 for y in hy]
+    inside = pip_even_odd(pts[:, 0], pts[:, 1], grown_x, grown_y, [0, len(grown_x)])
+    assert inside.all()
+    # hull of collinear points degenerates gracefully
+    hx2, hy2 = convex_hull([0.0, 1.0, 2.0], [0.0, 1.0, 2.0])
+    assert len(hx2) >= 2
+
+
+def test_st_isvalid_and_hull_udfs(spark):
+    from spatial.kernels import st_convexhull_udf, st_isvalid_udf
+    from spatial.geometry import GEOMETRY
+
+    bowtie = polygon([[(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]], srid=4326)
+    schema = "id long, geom struct<" + ",".join(
+        f"{f.name}:{f.dataType.simpleString()}" for f in GEOMETRY.fields) + ">"
+    df = spark.createDataFrame(
+        [(1, SQUARE.as_row()), (2, bowtie.as_row())], schema)
+    valid = st_isvalid_udf()
+    hull = st_convexhull_udf()
+    rows = df.withColumn("ok", valid("geom")).withColumn("h", hull("geom")).collect()
+    assert [r["ok"] for r in rows] == [True, False]
+    assert rows[1]["h"]["gtype"] == 3 and rows[1]["h"]["srid"] == 4326
