@@ -139,10 +139,21 @@ def make_jaccard_udf(shingle_k: int = 5):
 
     @pandas_udf(DoubleType())
     def jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        # candidate pairs repeat the same documents many times within a
+        # batch; memoize shingle sets per distinct text
+        cache: dict = {}
+
+        def sh(t):
+            key = t if isinstance(t, str) else ""
+            s = cache.get(key)
+            if s is None:
+                s = set(_hash_shingles(key, shingle_k).tolist())
+                cache[key] = s
+            return s
+
         out = np.zeros(len(text_a))
         for i, (ta, tb) in enumerate(zip(text_a, text_b)):
-            sa = set(_hash_shingles(ta if isinstance(ta, str) else "", shingle_k).tolist())
-            sb = set(_hash_shingles(tb if isinstance(tb, str) else "", shingle_k).tolist())
+            sa, sb = sh(ta), sh(tb)
             u = len(sa | sb)
             out[i] = (len(sa & sb) / u) if u else 1.0
         return pd.Series(out)
@@ -155,15 +166,38 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    estimate_margin: float = 0.2,
     **lsh_kw,
 ) -> DataFrame:
-    """Verified near-dup pairs: LSH candidates -> exact n-gram Jaccard."""
+    """Verified near-dup pairs: LSH candidates -> minhash-estimate prefilter
+    -> exact n-gram Jaccard.
+
+    The prefilter computes the unbiased Jaccard estimate (fraction of equal
+    signature components) entirely JVM-side and drops candidates estimated
+    below ``threshold - estimate_margin`` before the (Python) exact verify.
+    With 64 permutations, a pair whose TRUE Jaccard >= threshold estimating
+    more than 0.2 below it is a >3-sigma binomial tail (sigma ~ 0.057), so
+    the prefilter is sound in practice while cutting the exact-verify load
+    by the mass of sub-threshold candidates (web corpora: the vast
+    majority)."""
+    num_perm = lsh_kw.get("num_perm", 64)
     cand = minhash_candidates(df, text_col, id_col, **lsh_kw)
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    mh = make_minhash_udf(num_perm, lsh_kw.get("shingle_k", 5))
+    sigs = df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig"),
+                     F.col(text_col).alias("t"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                        lambda x: x))
+        / F.lit(float(num_perm))
+    )
     jac = make_jaccard_udf(lsh_kw.get("shingle_k", 5))
     pairs = (
-        cand.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "ta"), "id_a")
-        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "tb"), "id_b")
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+                              F.col("t").alias("ta")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+                          F.col("t").alias("tb")), "id_b")
+        .withColumn("est", est)
+        .where(F.col("est") >= threshold - estimate_margin)
         .withColumn("jaccard", jac("ta", "tb"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
