@@ -109,12 +109,21 @@ def minhash_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket: int = 1000,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH."""
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
+
+    ``sig_df`` (columns ``id``, ``sig``), when given, is used instead of
+    recomputing signatures -- the caller persists it so the (Python UDF)
+    signature pass and the parquet scan run once, not once per join branch.
+    """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    mh = make_minhash_udf(num_perm, shingle_k)
-    sig = df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig"))
+    if sig_df is None:
+        mh = make_minhash_udf(num_perm, shingle_k)
+        sig = df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig"))
+    else:
+        sig = sig_df.select("id", "sig")
     band_cols = [
         F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band))
         .alias("bucket")
@@ -181,10 +190,15 @@ def minhash_dedup_pairs(
     by the mass of sub-threshold candidates (web corpora: the vast
     majority)."""
     num_perm = lsh_kw.get("num_perm", 64)
-    cand = minhash_candidates(df, text_col, id_col, **lsh_kw)
     mh = make_minhash_udf(num_perm, lsh_kw.get("shingle_k", 5))
+    # One signature pass, persisted: the plan below references `sigs` three
+    # times (banded candidate gen + both sides of the verify join); without
+    # the persist each branch would re-scan the source and re-run the UDF.
+    # MEMORY_AND_DISK default spills rather than OOMs at corpus scale; the
+    # cached width is id + 64 longs + the text needed for exact verify.
     sigs = df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig"),
-                     F.col(text_col).alias("t"))
+                     F.col(text_col).alias("t")).persist()
+    cand = minhash_candidates(df, text_col, id_col, sig_df=sigs, **lsh_kw)
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
                         lambda x: x))
@@ -248,7 +262,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ]
     banded = sigs.select("id", "sh", F.explode(F.array(*block_cols)).alias("bucket"))
     sized = banded.withColumn("__n", F.count("*").over(Window.partitionBy("bucket")))
-    ok = sized.where(F.col("__n") <= max_bucket).drop("__n")
+    # persist: both sides of the self-join read this once-computed subtree
+    # (simhash UDF + bucket window) from cache instead of recomputing it
+    ok = sized.where(F.col("__n") <= max_bucket).drop("__n").persist()
     a, b = ok.alias("a"), ok.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -308,7 +324,9 @@ def embedding_dup_pairs(
     sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                    F.explode(sketch(vec_col)).alias("bucket"))
     sized = sk.withColumn("__n", F.count("*").over(Window.partitionBy("bucket")))
-    ok = sized.where(F.col("__n") <= max_bucket).drop("__n")
+    # persist: the self-join below would otherwise run the sketch UDF and the
+    # bucket-size window twice (once per aliased branch)
+    ok = sized.where(F.col("__n") <= max_bucket).drop("__n").persist()
     a, b = ok.alias("a"), ok.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
