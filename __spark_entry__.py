@@ -429,6 +429,112 @@ def q_multimodal_features(spark, sf_dir):
 # contract surface
 # ---------------------------------------------------------------------------
 
+def q_dump_points(spark, sf_dir):
+    """ST_DumpPoints (reference intent: Vector.hs:22-29 `dump`) -- explode a
+    3-vertex LineString per event to its points. Zero Python: posexplode."""
+    from spatial.kernels import dump_points
+    ev = _events(spark, sf_dir)
+    ls = F.struct(
+        F.lit(2).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(_lon(), _lon() + 1.0, _lon() + 2.0).alias("xs"),
+        F.array(_lat(), _lat() - 1.0, _lat() + 1.0).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(3)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    df = ev.select("event_id", ls.alias("geom"))
+    return dump_points(df, "geom").select(
+        "event_id", F.col("point_idx").cast("long").alias("point_idx"),
+        "pt_x", "pt_y")
+
+
+def q_dwithin(spark, sf_dir):
+    """st_dwithin predicate (great-circle within-distance filter). Only the
+    boolean crosses the oracle boundary: the 0.01-degree coordinate grid puts
+    no event within ulps of the cut radius, so libm differences between the
+    JVM and DuckDB cannot flip a row."""
+    from spatial.kernels import st_dwithin_col
+    ev = _events(spark, sf_dir).select(
+        "event_id", _lon().alias("x"), _lat().alias("y"))
+    return ev.where(st_dwithin_col(F.col("x"), F.col("y"),
+                                   F.lit(2.3522), F.lit(48.8566),
+                                   500_001.2345)).select("event_id", "x", "y")
+
+
+def q_isvalid_rings(spark, sf_dir):
+    """st_isvalid diagnostics kernel (ring closure + self-intersection; the
+    reference states ring validity as prose only, Geometry.hs:13-17). Even
+    event_ids build a closed square (valid); odd ones a closed bowtie whose
+    diagonals properly intersect (invalid)."""
+    from spatial.kernels import st_isvalid_udf
+    iv = st_isvalid_udf()
+    x, y = _lon(), _lat()
+    even = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    xs = F.when(even, F.array(x, x + 1.0, x + 1.0, x, x)) \
+         .otherwise(F.array(x, x + 1.0, x, x + 1.0, x))
+    ys = F.when(even, F.array(y, y, y + 1.0, y + 1.0, y)) \
+         .otherwise(F.array(y, y + 1.0, y + 1.0, y, y))
+    ring = F.struct(
+        F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        xs.alias("xs"), ys.alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id", iv(ring).alias("is_valid"))
+
+
+def q_convex_hull(spark, sf_dir):
+    """Convex hull kernel (the reference's never-implemented intent behind
+    Ord Point, Vector.hs:10-16). Input: 4 square corners + the centroid per
+    event; the hull must drop the interior point (5 vertices incl. closing)
+    and start at the lexicographic minimum corner -- both oracle-checkable
+    in plain SQL."""
+    from spatial.kernels import st_convexhull_udf
+    ch = st_convexhull_udf()
+    x, y = _lon(), _lat()
+    mp = F.struct(
+        F.lit(4).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(x - 1.0, x + 1.0, x + 1.0, x - 1.0, x).alias("xs"),
+        F.array(y - 1.0, y - 1.0, y + 1.0, y + 1.0, y).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_id", ch(mp).alias("h"))
+        .select("event_id",
+                F.size("h.xs").cast("long").alias("n_hull"),
+                F.col("h.xs")[0].alias("hull_x0"),
+                F.col("h.ys")[0].alias("hull_y0"))
+    )
+
+
+def q_jaccard_chars(spark, sf_dir):
+    """Exact n-gram Jaccard verify kernel at k=1 on adjacent doc pairs.
+    With 1-char shingles over the (pure-ASCII) documents the engine's
+    hashed-shingle-set Jaccard equals DuckDB's built-in character-set
+    jaccard() exactly (|A∩B|/|A∪B| is a small-integer ratio: the double
+    division is IEEE-identical on both sides)."""
+    from spatial.datapipe.dedup import make_jaccard_udf
+    jac = make_jaccard_udf(shingle_k=1)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+        .select("id_a", "id_b", jac("ta", "tb").alias("jac"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -470,6 +576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_embedding_topk": q_embedding_topk,
         "q_doc_fingerprint": q_doc_fingerprint,
+        "q_dump_points": q_dump_points,
+        "q_dwithin": q_dwithin,
+        "q_isvalid_rings": q_isvalid_rings,
+        "q_convex_hull": q_convex_hull,
+        "q_jaccard_chars": q_jaccard_chars,
         # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
@@ -617,6 +728,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cosine,
                    ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored QUALIFY rank <= 10""",
+        "q_dump_points": f"""
+            SELECT event_id, CAST(0 AS BIGINT) AS point_idx,
+                   {LON_SQL} AS pt_x, {LAT_SQL} AS pt_y FROM events
+            UNION ALL
+            SELECT event_id, CAST(1 AS BIGINT),
+                   {LON_SQL} + 1.0, {LAT_SQL} - 1.0 FROM events
+            UNION ALL
+            SELECT event_id, CAST(2 AS BIGINT),
+                   {LON_SQL} + 2.0, {LAT_SQL} + 1.0 FROM events
+        """,
+        "q_dwithin": f"""
+            SELECT event_id, x, y FROM (
+              SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y FROM events
+            )
+            WHERE 2 * 6371008.8 * asin(sqrt(least(greatest(
+                    pow(sin((radians(y) - radians(48.8566)) / 2), 2)
+                    + cos(radians(y)) * cos(radians(48.8566))
+                      * pow(sin((radians(x) - radians(2.3522)) / 2), 2),
+                  0.0), 1.0))) <= 500001.2345
+        """,
+        "q_isvalid_rings": """
+            SELECT event_id, (event_id % 2 = 0) AS is_valid FROM events
+        """,
+        "q_convex_hull": f"""
+            SELECT event_id, CAST(5 AS BIGINT) AS n_hull,
+                   {LON_SQL} - 1.0 AS hull_x0, {LAT_SQL} - 1.0 AS hull_y0
+            FROM events
+        """,
+        "q_jaccard_chars": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   jaccard(a.text, b.text) AS jac
+            FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+        """,
         "q_doc_fingerprint": """
             SELECT doc_id,
                    MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[^a-z0-9]+', ' ', 'g')) AS fp
