@@ -66,6 +66,7 @@ def knn_join(
     query_y: str = "qy",
     query_id: str = "query_id",
     max_rounds: int = 4,
+    init_r: int = 2,
 ) -> DataFrame:
     """Top-k nearest points per query: (query_id, id, rank, dist_m)."""
     spark = points.sparkSession
@@ -92,7 +93,9 @@ def knn_join(
     unresolved = np.arange(len(qids))
     results: dict[int, list] = {}
 
-    r = 1
+    # Start at r >= 2: the resolution guarantee is (r-1) cell spans, so an
+    # r=1 round can NEVER resolve a query -- it would be a pure wasted job.
+    r = max(2, init_r)
     for _ in range(max_rounds):
         # driver-side disk computation for the unresolved queries
         disks = neighbors_disk(qcell[unresolved], r)
