@@ -81,10 +81,15 @@ def geocode_page(df: DataFrame, text_col: str = "text",
 
     text = F.coalesce(F.col(text_col), F.lit(""))
     with_sig = (
-        df.withColumn(
-            "__lat_raw", F.regexp_extract(text, _COORD_PAIR, 1).try_cast("double"))
+        # one full-text scan for the coordinate pair; the per-group extracts
+        # then run over the short matched substring, not the whole text
+        df.withColumn("__pair", F.regexp_extract(text, _COORD_PAIR, 0))
         .withColumn(
-            "__lon_raw", F.regexp_extract(text, _COORD_PAIR, 2).try_cast("double"))
+            "__lat_raw",
+            F.regexp_extract(F.col("__pair"), _COORD_PAIR, 1).try_cast("double"))
+        .withColumn(
+            "__lon_raw",
+            F.regexp_extract(F.col("__pair"), _COORD_PAIR, 2).try_cast("double"))
         .withColumn(
             "__coord_lat",
             F.when(

@@ -81,8 +81,16 @@ def enrich_pages(pages: DataFrame, zoom: int) -> DataFrame:
     """extract_text (only where text is missing -- never re-read html when
     text is populated, the column-pruning win from SURVEY §4.2), geocode,
     tile-assign. Pure narrow ops: no shuffle at all."""
+    # Mask html to null JVM-side for rows whose text is already populated:
+    # ArrowEvalPython computes UDF columns unconditionally, so a plain
+    # coalesce(text, extract_text(html)) would serialize every row's html
+    # binary across the Arrow boundary and parse it, then throw the result
+    # away. With the mask, decided rows ship a null instead of the payload.
     enriched = pages.withColumn(
-        "text", F.coalesce(F.col("text"), extract_text("html"))
+        "text",
+        F.coalesce(
+            F.col("text"),
+            extract_text(F.when(F.col("text").isNull(), F.col("html")))),
     ).drop("html")
     located = geocode_page(enriched).where(F.col("lon").isNotNull())
     return tile_assign(located, "lon", "lat", zoom)
