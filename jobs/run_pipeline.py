@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt", type=int, default=0,
                    help="salt buckets for hot-cell skew mitigation (0 = off)")
     p.add_argument("--broadcast-threshold", type=int, default=2_000_000)
+    p.add_argument("--cluster-cells", type=int, default=0,
+                   help="range-partition join output on cell id into this "
+                        "many partitions before writing (spatial locality)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -68,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         cell_level=args.cell_level,
         salt_buckets=args.salt,
         broadcast_threshold=args.broadcast_threshold,
+        cluster_cells=args.cluster_cells,
     )
     t0 = time.time()
     stats = run_pipeline(spark, pages, regions, cfg)

@@ -46,6 +46,21 @@ from .cells import cell_from_lonlat, cover_bbox, level_for_extent
 from .kernels import pip_even_odd
 
 
+def cluster_by_cell(df: DataFrame, cell_col: str = "cell",
+                    num_partitions: Optional[int] = None) -> DataFrame:
+    """Cell-prefix range partitioning (the north rule's locality clause).
+
+    The Morton/quadtree cell ids are hierarchical: every cell's descendants
+    occupy one contiguous id interval (``cells.cell_range``), so plain range
+    partitioning on the raw id IS spatial-prefix partitioning -- each output
+    partition holds a contiguous patch of the globe, files are
+    min/max-prunable on the cell column, and downstream cell-key joins read
+    co-located data."""
+    if num_partitions is not None:
+        return df.repartitionByRange(num_partitions, F.col(cell_col))
+    return df.repartitionByRange(F.col(cell_col))
+
+
 def make_cover_cells(level: int):
     """pandas_udf: (minx, miny, maxx, maxy) -> array of covering cell ids."""
 

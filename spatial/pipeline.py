@@ -49,6 +49,9 @@ class PipelineConfig:
     cell_level: Optional[int] = None
     salt_buckets: int = 0
     broadcast_threshold: int = 2_000_000
+    # >0: repartitionByRange the join output on the cell id into this many
+    # partitions before writing (cell-prefix locality; join.cluster_by_cell)
+    cluster_cells: int = 0
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -131,6 +134,9 @@ def run_pipeline(
         )
         tiles_out = enriched.select("url", "tile_z", "tile_x", "tile_y")
 
+        if cfg.cluster_cells > 0:
+            from .join import cluster_by_cell
+            join_out = cluster_by_cell(join_out, "cell", cfg.cluster_cells)
         join_out.write.mode("overwrite").parquet(
             os.path.join(cfg.out_dir, "join_out", f"batch={batch}"))
         tiles_out.write.mode("overwrite").parquet(

@@ -122,3 +122,27 @@ def test_detect_hot_cells(spark, fixtures):
     pwc = points_df.withColumn("cell", cell_of("x", "y"))
     hot = detect_hot_cells(pwc, threshold_ratio=0.05, sample_fraction=0.5)
     assert len(hot) >= 1  # the LA cluster must surface
+
+
+def test_cluster_by_cell_ranges_disjoint(spark, fixtures):
+    """Range partitioning on the cell id = spatial-prefix partitioning:
+    every output partition must own a cell interval disjoint from all
+    others (this is what makes files min/max-prunable on cell)."""
+    from spatial.cells import make_cell_of
+    from spatial.join import cluster_by_cell
+
+    _, points_df, _ = fixtures
+    cell_of = make_cell_of(8)
+    pwc = points_df.withColumn("cell", cell_of("x", "y"))
+    clustered = cluster_by_cell(pwc, "cell", num_partitions=4)
+    ranges = (
+        clustered.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.min("cell").alias("lo"), F.max("cell").alias("hi"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in ranges) == points_df.count()  # nothing lost
+    assert len(ranges) > 1  # actually split
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint, ordered intervals
