@@ -130,15 +130,24 @@ def minhash_candidates(
         for b in range(bands)
     ]
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
-    # degenerate-bucket guard
-    sized = banded.withColumn("__n", F.count("*").over(Window.partitionBy("bucket")))
-    ok = sized.where(F.col("__n") <= max_bucket).drop("__n")
-    a = ok.alias("a")
-    b = ok.alias("b")
+    # One aggregate replaces the window-count guard + self-join: collect the
+    # (capped) member list per bucket, then expand ordered pairs JVM-side
+    # with array transforms -- no second shuffle of the banded rows, no hash
+    # build of a self-join, and map-side partial aggregation on the way in.
+    buckets = (
+        banded.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+    )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        # strict <: a bucket-hash collision across bands could list one id twice
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -261,23 +270,28 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         for blk in range(n_blocks)
     ]
     banded = sigs.select("id", "sh", F.explode(F.array(*block_cols)).alias("bucket"))
-    sized = banded.withColumn("__n", F.count("*").over(Window.partitionBy("bucket")))
-    # persist: both sides of the self-join read this once-computed subtree
-    # (simhash UDF + bucket window) from cache instead of recomputing it
-    ok = sized.where(F.col("__n") <= max_bucket).drop("__n").persist()
-    a, b = ok.alias("a"), ok.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
-        .distinct()
+    # one aggregate per bucket, then JVM-side ordered-pair expansion with the
+    # hamming filter applied BEFORE the dedup shuffle (no self-join, no
+    # window pass; signatures ride along inside the collected structs)
+    buckets = (
+        banded.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    pairs = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), b -> "
+        "struct(a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b))))"
+    )
+    hamming = F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b")))
     return (
-        cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        buckets.select(F.explode(pairs).alias("p"))
+        .withColumn("hamming", hamming)
+        .where((F.col("hamming") <= max_hamming)
+               & (F.col("p.id_a") < F.col("p.id_b")))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"),
+                "hamming")
+        .distinct()
     )
 
 
