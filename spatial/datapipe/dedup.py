@@ -3,14 +3,16 @@ Jaccard, embedding-cosine near-dup.
 
 Shapes chosen for 100TB: every method is
     signature (narrow, vectorized NumPy per Arrow batch)
-    -> band/bucket key explode
-    -> self-equi-join on the bucket key (the ONLY shuffle, on short keys)
+    -> band/bucket key explode of (id, key) rows only
+    -> ONE aggregate per bucket (map-side partial) collecting the capped
+       member list, with ordered candidate pairs expanded JVM-side by array
+       transforms -- no self-join, no window pass
     -> exact verify on the candidate pairs (vectorized)
-so the full text/embedding columns never shuffle -- only (id, key) pairs and
-then (id, id) candidates do. Bucket-key joins are Zipf-prone on boilerplate
-text; the candidate generator caps per-bucket fanout (drop buckets with more
-than ``max_bucket`` members and report them) rather than letting one
-degenerate bucket produce O(n^2) pairs -- the standard web-dedup guard.
+so the full text/embedding columns never shuffle -- only (id, key) rows and
+then (id, id) candidates do. Bucket keys are Zipf-prone on boilerplate text;
+the generator drops buckets with more than ``max_bucket`` members rather
+than letting one degenerate bucket produce O(n^2) pairs -- the standard
+web-dedup guard (and the cap also bounds the collect_list row size).
 """
 
 from __future__ import annotations
@@ -335,22 +337,33 @@ def embedding_dup_pairs(
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
         return pd.Series(np.where(den > 0, num / den, 0.0))
 
-    sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+    # Bucket on ids ONLY (8 bytes x n_tables per vector into the shuffle,
+    # never the embedding itself), expand ordered pairs JVM-side, then join
+    # the two vectors back for the exact verify -- the column-pruned source
+    # scan is far cheaper than replicating vectors through bucket explode +
+    # self-join.
+    sk = df.select(F.col(id_col).alias("id"),
                    F.explode(sketch(vec_col)).alias("bucket"))
-    sized = sk.withColumn("__n", F.count("*").over(Window.partitionBy("bucket")))
-    # persist: the self-join below would otherwise run the sketch UDF and the
-    # bucket-size window twice (once per aliased branch)
-    ok = sized.where(F.col("__n") <= max_bucket).drop("__n").persist()
-    a, b = ok.alias("a"), ok.alias("b")
+    buckets = (
+        sk.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+    )
     cand = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.withColumn("cosine", cosine("va", "vb"))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", cosine("va", "vb"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
