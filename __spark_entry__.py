@@ -535,6 +535,73 @@ def q_jaccard_chars(spark, sf_dir):
     )
 
 
+def q_st_area(spark, sf_dir):
+    """Planar area kernel on a per-event square ring with side
+    a = 1 + (event_id % 100)/100; area = a^2 has <= 4 decimal digits, so
+    round(6) absorbs summation-order ulps with huge margin."""
+    from spatial.kernels import st_area_udf
+    x, y = _lon(), _lat()
+    a = F.lit(1.0) + (F.col("event_id") % 100).cast("double") / 100.0
+    ring = F.struct(
+        F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(x, x + a, x + a, x, x).alias("xs"),
+        F.array(y, y, y + a, y + a, y).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id", F.round(st_area_udf()(ring), 6).alias("area"))
+
+
+def q_st_length(spark, sf_dir):
+    """Planar length kernel on an L-shaped 2-segment linestring with
+    integer-valued legs a = 1 + event_id % 7, b = 1 + event_id % 5."""
+    from spatial.kernels import st_length_udf
+    x, y = _lon(), _lat()
+    a = (F.lit(1) + F.col("event_id") % 7).cast("double")
+    b = (F.lit(1) + F.col("event_id") % 5).cast("double")
+    ls = F.struct(
+        F.lit(2).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(x, x + a, x + a).alias("xs"),
+        F.array(y, y, y + b).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(3)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id", F.round(st_length_udf()(ls), 6).alias("length"))
+
+
+def q_st_centroid(spark, sf_dir):
+    """Area-weighted centroid kernel on a right triangle (legs 2 and 1):
+    centroid = (x + 2/3, y + 1/3); the 6th-decimal rounding boundary is
+    ~1.7e-7 away from ...6666 while the float error is ~1e-12."""
+    from spatial.kernels import st_centroid_udf
+    x, y = _lon(), _lat()
+    tri = F.struct(
+        F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(x, x + 2.0, x, x).alias("xs"),
+        F.array(y, y, y + 1.0, y).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(4)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir)
+    c = st_centroid_udf()(tri)
+    return ev.select(
+        "event_id",
+        F.round(c["cx"], 6).alias("cx"), F.round(c["cy"], 6).alias("cy"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -581,6 +648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_isvalid_rings": q_isvalid_rings,
         "q_convex_hull": q_convex_hull,
         "q_jaccard_chars": q_jaccard_chars,
+        "q_st_area": q_st_area,
+        "q_st_length": q_st_length,
+        "q_st_centroid": q_st_centroid,
         # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
@@ -760,6 +830,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    jaccard(a.text, b.text) AS jac
             FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+        """,
+        "q_st_area": """
+            SELECT event_id,
+                   round(pow(1.0 + CAST(event_id % 100 AS DOUBLE)/100.0, 2), 6)
+                     AS area
+            FROM events
+        """,
+        "q_st_length": """
+            SELECT event_id,
+                   round(CAST(1 + event_id % 7 AS DOUBLE)
+                         + CAST(1 + event_id % 5 AS DOUBLE), 6) AS length
+            FROM events
+        """,
+        "q_st_centroid": f"""
+            SELECT event_id,
+                   round({LON_SQL} + 2.0/3.0, 6) AS cx,
+                   round({LAT_SQL} + 1.0/3.0, 6) AS cy
+            FROM events
         """,
         "q_doc_fingerprint": """
             SELECT doc_id,

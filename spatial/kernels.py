@@ -288,3 +288,127 @@ def st_dwithin_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
                    meters: float) -> Column:
     """Great-circle within-distance predicate (pure column expr)."""
     return haversine_col(lon1, lat1, lon2, lat2) <= F.lit(float(meters))
+
+
+# ---------------------------------------------------------------------------
+# measure kernels: planar area / length / centroid
+# (completes the geometry-math intent of the reference's dead Vector.hs
+# module, /root/reference/src/Database/Postgis/Vector.hs:31-46, which built
+# vector-space operations but never the measures they exist to support)
+# ---------------------------------------------------------------------------
+
+def ring_area_signed(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Shoelace signed area of one closed ring (CCW positive)."""
+    x = np.asarray(xs, dtype=np.float64)
+    y = np.asarray(ys, dtype=np.float64)
+    return float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) / 2.0)
+
+
+def geom_area(xs, ys, ring_offsets) -> float:
+    """Planar area: |sum of signed ring areas| -- with conventionally wound
+    rings (shell CCW, holes CW) hole areas subtract; same-wound holes also
+    subtract via the abs of the algebraic sum for simple cases."""
+    off = np.asarray(ring_offsets)
+    total = 0.0
+    for a, b in zip(off[:-1], off[1:]):
+        total += ring_area_signed(np.asarray(xs[a:b]), np.asarray(ys[a:b]))
+    return abs(total)
+
+
+def geom_length(xs, ys, ring_offsets) -> float:
+    """Planar length: sum of segment lengths within each part."""
+    off = np.asarray(ring_offsets)
+    total = 0.0
+    for a, b in zip(off[:-1], off[1:]):
+        x = np.asarray(xs[a:b], dtype=np.float64)
+        y = np.asarray(ys[a:b], dtype=np.float64)
+        if len(x) >= 2:
+            total += float(np.sum(np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)))
+    return total
+
+
+def geom_centroid(xs, ys, ring_offsets, gtype: int) -> tuple:
+    """Planar centroid. Polygons: area-weighted (signed shoelace moments);
+    linestrings: length-weighted segment midpoints; points/multipoints:
+    coordinate mean. Degenerate (zero area/length) falls back to the mean."""
+    x = np.asarray(xs, dtype=np.float64)
+    y = np.asarray(ys, dtype=np.float64)
+    off = np.asarray(ring_offsets)
+    if gtype in (3, 6):  # Polygon / MultiPolygon
+        A = 0.0
+        cx = 0.0
+        cy = 0.0
+        for a, b in zip(off[:-1], off[1:]):
+            rx, ry = x[a:b], y[a:b]
+            cross = rx[:-1] * ry[1:] - rx[1:] * ry[:-1]
+            A += float(np.sum(cross) / 2.0)
+            cx += float(np.sum((rx[:-1] + rx[1:]) * cross) / 6.0)
+            cy += float(np.sum((ry[:-1] + ry[1:]) * cross) / 6.0)
+        if A != 0.0:
+            return cx / A, cy / A
+    elif gtype in (2, 5):  # LineString / MultiLineString
+        L = 0.0
+        cx = 0.0
+        cy = 0.0
+        for a, b in zip(off[:-1], off[1:]):
+            rx, ry = x[a:b], y[a:b]
+            seg = np.sqrt(np.diff(rx) ** 2 + np.diff(ry) ** 2)
+            L += float(np.sum(seg))
+            cx += float(np.sum((rx[:-1] + rx[1:]) / 2.0 * seg))
+            cy += float(np.sum((ry[:-1] + ry[1:]) / 2.0 * seg))
+        if L != 0.0:
+            return cx / L, cy / L
+    return float(np.mean(x)), float(np.mean(y))
+
+
+def _measure_udf(fn, needs_gtype: bool = False):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def measure(geom: pd.DataFrame) -> pd.Series:
+        out = []
+        for row in geom.to_dict("records"):
+            if row.get("xs") is None:
+                out.append(None)
+            elif needs_gtype:
+                out.append(fn(row["xs"], row["ys"], row["ring_offsets"],
+                              row["gtype"]))
+            else:
+                out.append(fn(row["xs"], row["ys"], row["ring_offsets"]))
+        return pd.Series(out, dtype="float64")
+
+    return measure
+
+
+def st_area_udf():
+    """pandas_udf: GEOMETRY -> planar area (double)."""
+    return _measure_udf(geom_area)
+
+
+def st_length_udf():
+    """pandas_udf: GEOMETRY -> planar length (double)."""
+    return _measure_udf(geom_length)
+
+
+def st_centroid_udf():
+    """pandas_udf: GEOMETRY -> struct(cx, cy)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([StructField("cx", DoubleType()),
+                         StructField("cy", DoubleType())])
+
+    @pandas_udf(schema)
+    def st_centroid(geom: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for row in geom.to_dict("records"):
+            if row.get("xs") is None:
+                rows.append({"cx": None, "cy": None})
+            else:
+                cx, cy = geom_centroid(row["xs"], row["ys"],
+                                       row["ring_offsets"], row["gtype"])
+                rows.append({"cx": cx, "cy": cy})
+        return pd.DataFrame(rows, columns=["cx", "cy"])
+
+    return st_centroid

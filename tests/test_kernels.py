@@ -180,3 +180,50 @@ def test_st_isvalid_and_hull_udfs(spark):
     rows = df.withColumn("ok", valid("geom")).withColumn("h", hull("geom")).collect()
     assert [r["ok"] for r in rows] == [True, False]
     assert rows[1]["h"]["gtype"] == 3 and rows[1]["h"]["srid"] == 4326
+
+
+def test_measures_pure():
+    from spatial.kernels import geom_area, geom_centroid, geom_length
+
+    # 2x1 rectangle, CCW
+    assert geom_area([0, 2, 2, 0, 0], [0, 0, 1, 1, 0], [0, 5]) == 2.0
+    # rectangle with CW hole: 4 - 1
+    assert geom_area([0, 2, 2, 0, 0, 0.5, 0.5, 1.5, 1.5, 0.5],
+                     [0, 0, 2, 2, 0, 0.5, 1.5, 1.5, 0.5, 0.5],
+                     [0, 5, 10]) == 3.0
+    # L-path 3 across + 4 up
+    assert geom_length([0, 3, 3], [0, 0, 4], [0, 3]) == 7.0
+    # right triangle centroid
+    cx, cy = geom_centroid([0, 2, 0, 0], [0, 0, 1, 0], [0, 4], 3)
+    assert abs(cx - 2 / 3) < 1e-12 and abs(cy - 1 / 3) < 1e-12
+    # linestring centroid = midpoint for a single segment
+    assert geom_centroid([0, 2], [0, 0], [0, 2], 2) == (1.0, 0.0)
+    # multipoint centroid = mean
+    assert geom_centroid([0, 4], [0, 2], [0, 2], 4) == (2.0, 1.0)
+
+
+def test_measure_udfs(spark):
+    import pyspark.sql.functions as F
+
+    from spatial.geometry import linestring, polygon
+    from spatial.kernels import st_area_udf, st_centroid_udf, st_length_udf
+
+    rows = [
+        (1, polygon([[(0, 0), (2, 0), (2, 1), (0, 1), (0, 0)]]).as_row()),
+        (2, linestring([(0, 0), (3, 0), (3, 4)]).as_row()),
+    ]
+    from spatial.geometry import GEOMETRY
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([StructField("id", LongType()),
+                         StructField("geom", GEOMETRY)])
+    df = spark.createDataFrame(rows, schema)
+    out = {r["id"]: r for r in df.select(
+        "id", st_area_udf()(F.col("geom")).alias("area"),
+        st_length_udf()(F.col("geom")).alias("length"),
+        st_centroid_udf()(F.col("geom")).alias("c")).collect()}
+    assert out[1]["area"] == 2.0
+    assert out[2]["length"] == 7.0
+    assert abs(out[1]["c"]["cx"] - 1.0) < 1e-12
+    # L-path: len-3 seg midpoint (1.5,0), len-4 seg midpoint (3,2)
+    assert abs(out[2]["c"]["cx"] - 16.5 / 7) < 1e-12
+    assert abs(out[2]["c"]["cy"] - 8.0 / 7) < 1e-12
