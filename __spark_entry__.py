@@ -602,6 +602,33 @@ def q_st_centroid(spark, sf_dir):
         F.round(c["cx"], 6).alias("cx"), F.round(c["cy"], 6).alias("cy"))
 
 
+def q_st_simplify(spark, sf_dir):
+    """Douglas-Peucker simplification: an 11-vertex near-straight zigzag
+    (amplitude 0.001 << tolerance 0.01) must always collapse to its two
+    endpoints -- vertex count and endpoint coordinates are closed-form."""
+    from spatial.kernels import st_simplify_udf
+    x, y = _lon(), _lat()
+    xs = F.array(*[x + F.lit(float(i)) for i in range(11)])
+    ys = F.array(*[y + F.lit(0.001 * (i % 2)) for i in range(11)])
+    ls = F.struct(
+        F.lit(2).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        xs.alias("xs"), ys.alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(11)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir)
+    s = st_simplify_udf(0.01)(ls)
+    return ev.select(
+        "event_id",
+        F.size(s["xs"]).cast("long").alias("n_simplified"),
+        s["xs"][0].alias("x0"), s["ys"][0].alias("y0"),
+        F.element_at(s["xs"], -1).alias("x1"),
+        F.element_at(s["ys"], -1).alias("y1"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -651,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_area": q_st_area,
         "q_st_length": q_st_length,
         "q_st_centroid": q_st_centroid,
+        "q_st_simplify": q_st_simplify,
         # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
@@ -847,6 +875,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    round({LON_SQL} + 2.0/3.0, 6) AS cx,
                    round({LAT_SQL} + 1.0/3.0, 6) AS cy
+            FROM events
+        """,
+        "q_st_simplify": f"""
+            SELECT event_id, CAST(2 AS BIGINT) AS n_simplified,
+                   {LON_SQL} AS x0, {LAT_SQL} AS y0,
+                   {LON_SQL} + 10.0 AS x1, {LAT_SQL} AS y1
             FROM events
         """,
         "q_doc_fingerprint": """

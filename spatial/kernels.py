@@ -412,3 +412,80 @@ def st_centroid_udf():
         return pd.DataFrame(rows, columns=["cx", "cy"])
 
     return st_centroid
+
+
+# ---------------------------------------------------------------------------
+# simplification kernel (tile-rendering support: per-zoom vector thinning)
+# ---------------------------------------------------------------------------
+
+def dp_simplify(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker: boolean keep-mask over one part's vertices.
+    Iterative stack (no recursion limit); endpoints always kept."""
+    x = np.asarray(xs, dtype=np.float64)
+    y = np.asarray(ys, dtype=np.float64)
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    stack = [(0, n - 1)]
+    t2 = tol * tol
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = slice(a + 1, b)
+        dx, dy = x[b] - x[a], y[b] - y[a]
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            d2 = (x[seg] - x[a]) ** 2 + (y[seg] - y[a]) ** 2
+        else:
+            # squared perpendicular distance to the a-b line
+            cross = (x[seg] - x[a]) * dy - (y[seg] - y[a]) * dx
+            d2 = cross * cross / L2
+        i = int(np.argmax(d2))
+        if d2[i] > t2:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep
+
+
+def st_simplify_udf(tolerance: float):
+    """pandas_udf: GEOMETRY -> GEOMETRY with each part/ring DP-simplified at
+    ``tolerance`` (same units as the coordinates). Ring closure is preserved
+    (first == last kept); parts collapse to their endpoints when every
+    interior deviation is under tolerance."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .geometry import GEOMETRY, GEOMETRY_FIELDS
+
+    @pandas_udf(GEOMETRY)
+    def st_simplify(geom: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for row in geom.to_dict("records"):
+            if row.get("xs") is None:
+                rows.append({f: None for f in GEOMETRY_FIELDS})
+                continue
+            xs = np.asarray(row["xs"], dtype=np.float64)
+            ys = np.asarray(row["ys"], dtype=np.float64)
+            off = np.asarray(row["ring_offsets"])
+            new_x: list = []
+            new_y: list = []
+            new_off = [0]
+            for a, b in zip(off[:-1], off[1:]):
+                m = dp_simplify(xs[a:b], ys[a:b], tolerance)
+                new_x.extend(xs[a:b][m].tolist())
+                new_y.extend(ys[a:b][m].tolist())
+                new_off.append(len(new_x))
+            out = dict(row)
+            out["xs"], out["ys"] = new_x, new_y
+            out["zs"], out["ms"] = None, None
+            out["ring_offsets"] = new_off
+            rows.append(out)
+        return pd.DataFrame(rows, columns=GEOMETRY_FIELDS)
+
+    return st_simplify

@@ -227,3 +227,35 @@ def test_measure_udfs(spark):
     # L-path: len-3 seg midpoint (1.5,0), len-4 seg midpoint (3,2)
     assert abs(out[2]["c"]["cx"] - 16.5 / 7) < 1e-12
     assert abs(out[2]["c"]["cy"] - 8.0 / 7) < 1e-12
+
+
+def test_dp_simplify_properties():
+    import numpy as np
+
+    from spatial.kernels import dp_simplify
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(3, 60))
+        x = np.cumsum(rng.uniform(0.1, 1.0, n))
+        y = rng.normal(0, 1.0, n)
+        tol = float(rng.uniform(0.05, 2.0))
+        keep = dp_simplify(x, y, tol)
+        assert keep[0] and keep[-1]
+        kx, ky = x[keep], y[keep]
+        # every dropped vertex is within tol of the simplified polyline's
+        # corresponding chord (the DP guarantee)
+        ki = np.flatnonzero(keep)
+        for a, b in zip(ki[:-1], ki[1:]):
+            if b - a < 2:
+                continue
+            dx, dy = x[b] - x[a], y[b] - y[a]
+            L2 = dx * dx + dy * dy
+            seg = slice(a + 1, b)
+            cross = (x[seg] - x[a]) * dy - (y[seg] - y[a]) * dx
+            d2 = cross * cross / L2 if L2 else \
+                (x[seg] - x[a]) ** 2 + (y[seg] - y[a]) ** 2
+            assert (d2 <= tol * tol + 1e-12).all()
+        # idempotence
+        keep2 = dp_simplify(kx, ky, tol)
+        assert keep2.all()
