@@ -97,6 +97,20 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
         best = dt if best is None else min(best, dt)
     timings["flagship_pipeline"] = round(best, 3)
     pages_per_sec = round(n_rows / best, 1)
+
+    # salted shuffle path: same join forced off the broadcast plan
+    # (broadcast_threshold=0) with 8-way hot-cell salting -- the plan the
+    # engine runs when the polygon side outgrows a broadcast. Row count must
+    # match the broadcast plan exactly (salting is correctness-neutral).
+    plan_salted = SpatialJoinPlan(regions, broadcast_threshold=0, salt_buckets=8)
+    enriched_s = enrich_pages(pages, 12)
+    salted_rows = plan_salted.join(
+        enriched_s, x_col="lon", y_col="lat", salt_key="url").count()  # warm
+    assert salted_rows == join_rows, (salted_rows, join_rows)
+    timed("flagship_salted_shuffle",
+          lambda: plan_salted.join(enrich_pages(pages, 12), x_col="lon",
+                                   y_col="lat", salt_key="url").count())
+    plan_salted.unpersist()
     pages.unpersist()
 
     # ---- operator benchmarks on the sf tables --------------------------------
