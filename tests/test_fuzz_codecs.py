@@ -1,0 +1,133 @@
+"""Hypothesis fuzz over the three codecs (pure-Python layer -- no Spark
+session needed, so shrinking is fast). Realizes the reference's
+never-finished QuickCheck intent (/root/reference/tests/GeoSpec.hs:5) with
+adversarial generation rather than the seeded-grid property tests in
+test_ewkb.py: arbitrary finite doubles (incl. negative zero, tiny/huge
+magnitudes), arbitrary nesting shapes, and all dim/SRID combinations.
+
+Invariants:
+  * decode(encode(g)) == g structurally for EWKB, WKT, GeoJSON
+  * EWKB hex re-encodes byte-identically (case-insensitive)
+  * codecs never raise on round-trippable inputs
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spatial.ewkb import decode_hex, encode_hex
+from spatial.geojson import decode_geojson, encode_geojson
+from spatial.geometry import (
+    Geom,
+    linestring,
+    multilinestring,
+    multipoint,
+    multipolygon,
+    point,
+    polygon,
+)
+from spatial.wkt import decode_wkt, encode_wkt
+
+# finite doubles; WKT/GeoJSON render via repr -> shortest round-trip text,
+# so any finite double must survive
+coord = st.floats(allow_nan=False, allow_infinity=False, width=64)
+srid_s = st.sampled_from([None, 4326, 3857, 27700])
+dims = st.sampled_from([(False, False), (True, False), (False, True), (True, True)])
+
+
+def _positions(draw, has_z, has_m, min_n, max_n):
+    n = draw(st.integers(min_n, max_n))
+    out = []
+    for _ in range(n):
+        pos = [draw(coord), draw(coord)]
+        if has_z:
+            pos.append(draw(coord))
+        if has_m:
+            pos.append(draw(coord))
+        out.append(tuple(pos))
+    return out
+
+
+@st.composite
+def geoms(draw) -> Geom:
+    has_z, has_m = draw(dims)
+    srid = draw(srid_s)
+    kind = draw(st.integers(1, 6))
+    if kind == 1:
+        p = _positions(draw, has_z, has_m, 1, 1)[0]
+        return point(*p, srid=srid)
+    if kind == 2:
+        return linestring(_positions(draw, has_z, has_m, 2, 6), srid=srid,
+                          has_z=has_z, has_m=has_m)
+    if kind == 3:
+        rings = [_ring(draw, has_z, has_m)
+                 for _ in range(draw(st.integers(1, 3)))]
+        return polygon(rings, srid=srid, has_z=has_z, has_m=has_m)
+    if kind == 4:
+        return multipoint(_positions(draw, has_z, has_m, 1, 5), srid=srid,
+                          has_z=has_z, has_m=has_m)
+    if kind == 5:
+        lines = [_positions(draw, has_z, has_m, 2, 4)
+                 for _ in range(draw(st.integers(1, 3)))]
+        return multilinestring(lines, srid=srid, has_z=has_z, has_m=has_m)
+    polys = [[_ring(draw, has_z, has_m)]
+             for _ in range(draw(st.integers(1, 2)))]
+    return multipolygon(polys, srid=srid, has_z=has_z, has_m=has_m)
+
+
+def _ring(draw, has_z, has_m):
+    ring = _positions(draw, has_z, has_m, 3, 5)
+    ring.append(ring[0])  # closed by construction
+    return ring
+
+
+def _eq_vals(a, b):
+    if a is None and b is None:
+        return True
+    if (a is None) != (b is None):
+        return False
+    return len(a) == len(b) and all(
+        (x == y) or (math.isnan(x) and math.isnan(y)) for x, y in zip(a, b))
+
+
+def _geom_eq(a: Geom, b: Geom) -> bool:
+    return (
+        a.gtype == b.gtype and a.srid == b.srid
+        and a.has_z == b.has_z and a.has_m == b.has_m
+        and _eq_vals(a.xs, b.xs) and _eq_vals(a.ys, b.ys)
+        and _eq_vals(a.zs, b.zs) and _eq_vals(a.ms, b.ms)
+        and list(a.ring_offsets) == list(b.ring_offsets)
+        and list(a.part_offsets) == list(b.part_offsets)
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(geoms())
+def test_ewkb_fuzz_roundtrip(g):
+    h = encode_hex(g)
+    g2 = decode_hex(h)
+    assert _geom_eq(g, g2)
+    assert encode_hex(g2).lower() == h.lower()
+
+
+@settings(max_examples=200, deadline=None)
+@given(geoms())
+def test_wkt_fuzz_roundtrip(g):
+    t = encode_wkt(g)
+    g2 = decode_wkt(t)
+    assert _geom_eq(g, g2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(geoms())
+def test_geojson_fuzz_roundtrip(g):
+    # GeoJSON coordinates have no M-without-Z slot (SURVEY §2.1.3 J1): that
+    # combination is lossy by format design, so skip it (the engine flags it)
+    if g.has_m and not g.has_z:
+        return
+    j = encode_geojson(g)
+    g2 = decode_geojson(j)
+    assert _geom_eq(g, g2)
