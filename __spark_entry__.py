@@ -629,6 +629,27 @@ def q_st_simplify(spark, sf_dir):
         F.element_at(s["ys"], -1).alias("y1"))
 
 
+def q_tile_cover(spark, sf_dir):
+    """Vector->raster direction of tile assignment: every z6 tile whose
+    extent intersects a per-event 2x2-degree square's bbox. Pure sequence
+    explode; the oracle replays the same index ranges via generate_series."""
+    from spatial.tiles import tile_cover
+    x, y = _lon(), _lat()
+    sq = F.struct(
+        F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(x, x + 2.0, x + 2.0, x, x).alias("xs"),
+        F.array(y, y, y + 2.0, y + 2.0, y).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir).select("event_id", sq.alias("geom"))
+    return tile_cover(ev, "geom", 6).select(
+        "event_id", "tile_z", "tile_x", "tile_y")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -679,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_length": q_st_length,
         "q_st_centroid": q_st_centroid,
         "q_st_simplify": q_st_simplify,
+        "q_tile_cover": q_tile_cover,
         # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
@@ -883,6 +905,24 @@ def oracle_sql() -> dict[str, str]:
                    {LON_SQL} + 10.0 AS x1, {LAT_SQL} AS y1
             FROM events
         """,
+        "q_tile_cover": (lambda _tc: f"""
+            WITH t AS (
+              SELECT event_id,
+                     {_tc[0][0]} AS txa, {_tc[1][0]} AS txb,
+                     {_tc[2][1]} AS tya, {_tc[3][1]} AS tyb
+              FROM events
+            )
+            SELECT event_id, CAST(6 AS INT) AS tile_z,
+                   ux.tile_x AS tile_x, uy.tile_y AS tile_y
+            FROM t,
+                 LATERAL unnest(generate_series(txa, txb)) AS ux(tile_x),
+                 LATERAL unnest(generate_series(tya, tyb)) AS uy(tile_y)
+        """)([
+            tile_assign_oracle_sql(f"({LON_SQL})", LAT_SQL, 6),
+            tile_assign_oracle_sql(f"({LON_SQL} + 2.0)", LAT_SQL, 6),
+            tile_assign_oracle_sql(LON_SQL, f"({LAT_SQL} + 2.0)", 6),
+            tile_assign_oracle_sql(LON_SQL, f"({LAT_SQL})", 6),
+        ]),
         "q_doc_fingerprint": """
             SELECT doc_id,
                    MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[^a-z0-9]+', ' ', 'g')) AS fp

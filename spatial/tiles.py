@@ -62,3 +62,28 @@ def tile_assign_oracle_sql(lon_expr: str, lat_expr: str, zoom: int) -> tuple[str
     merc = f"LN(TAN(RADIANS({lat_c})) + 1.0 / COS(RADIANS({lat_c})))"
     ty = (f"CAST(LEAST(GREATEST(FLOOR((1.0 - {merc} / PI()) / 2.0 * {n}), 0), {mx}) AS BIGINT)")
     return tx, ty
+
+
+def tile_cover(df: DataFrame, geom_col: str, zoom: int,
+               out_prefix: str = "tile") -> DataFrame:
+    """Vector -> raster-tile assignment: one output row per z/x/y tile whose
+    extent intersects the geometry's bbox at ``zoom``.
+
+    The other direction of tile_assign (point -> its tile). Pure column
+    math: bbox corners -> tile index ranges -> sequence() cross-explode,
+    all JVM-side. Tile y grows southward, so the min tile row comes from the
+    bbox's MAX latitude. Exact (non-bbox) coverage, when needed, is this
+    followed by a PIP refine of tile centers/corners against the geometry --
+    same pattern as the spatial join's cover-then-refine."""
+    from .kernels import geom_bbox_cols
+
+    minx, miny, maxx, maxy = geom_bbox_cols(F.col(geom_col))
+    txa, txb = tile_x(minx, zoom), tile_x(maxx, zoom)
+    tya, tyb = tile_y(maxy, zoom), tile_y(miny, zoom)
+    return (
+        df.withColumn(f"{out_prefix}_z", F.lit(zoom).cast("int"))
+        .withColumn(f"{out_prefix}_x",
+                    F.explode(F.sequence(txa, txb)))
+        .withColumn(f"{out_prefix}_y",
+                    F.explode(F.sequence(tya, tyb)))
+    )

@@ -54,3 +54,40 @@ def test_tile_assign_stays_jvm_side(spark):
     df = tile_assign(spark.createDataFrame(pdf), "lon", "lat", 8)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tile_cover_matches_per_point_assignment(spark):
+    """Every tile that any vertex of the polygon maps to must appear in the
+    polygon's tile_cover (bbox cover is a superset of vertex tiles)."""
+    import math
+
+    from spatial import polygon
+    from spatial.geometry import GEOMETRY
+    from spatial.tiles import tile_cover
+
+    ring = [(-10.0, -5.0), (25.0, -5.0), (25.0, 20.0), (-10.0, 20.0),
+            (-10.0, -5.0)]
+    g = polygon([ring], srid=4326)
+    from pyspark.sql.types import LongType, StructField, StructType
+    df = spark.createDataFrame(
+        [(1, g.as_row())],
+        StructType([StructField("id", LongType()), StructField("geom", GEOMETRY)]))
+    got = {(r["tile_x"], r["tile_y"])
+           for r in tile_cover(df, "geom", 4).collect()}
+
+    def slippy(lon, lat, z):
+        n = 2 ** z
+        tx = min(max(int(math.floor((lon + 180) / 360 * n)), 0), n - 1)
+        lr = math.radians(max(min(lat, 85.05112878), -85.05112878))
+        ty = min(max(int(math.floor(
+            (1 - math.asinh(math.tan(lr)) / math.pi) / 2 * n)), 0), n - 1)
+        return tx, ty
+
+    for lon, lat in ring:
+        assert slippy(lon, lat, 4) in got
+    # cover is exactly the bbox tile rectangle
+    txs = sorted({t[0] for t in got})
+    tys = sorted({t[1] for t in got})
+    assert txs == list(range(txs[0], txs[-1] + 1))
+    assert tys == list(range(tys[0], tys[-1] + 1))
+    assert len(got) == len(txs) * len(tys)
