@@ -650,6 +650,30 @@ def q_tile_cover(spark, sf_dir):
         "event_id", "tile_z", "tile_x", "tile_y")
 
 
+def q_st_distance(spark, sf_dir):
+    """Point-to-geometry planar distance: probe at (x+2+a, y+2+b) from the
+    square [x,x+2]^2 -> nearest point is the corner, distance sqrt(a^2+b^2)
+    with integer legs a,b. All 12 possible values sit >= 6e-8 from their
+    6-decimal rounding boundary vs ~1e-13 computation error."""
+    from spatial.kernels import st_distance_udf
+    x, y = _lon(), _lat()
+    a = (F.lit(1) + F.col("event_id") % 3).cast("double")
+    b = (F.lit(1) + F.col("event_id") % 4).cast("double")
+    sq = F.struct(
+        F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(x, x + 2.0, x + 2.0, x, x).alias("xs"),
+        F.array(y, y, y + 2.0, y + 2.0, y).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir)
+    d = st_distance_udf()(x + 2.0 + a, y + 2.0 + b, sq)
+    return ev.select("event_id", F.round(d, 6).alias("dist"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -701,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_centroid": q_st_centroid,
         "q_st_simplify": q_st_simplify,
         "q_tile_cover": q_tile_cover,
+        "q_st_distance": q_st_distance,
         # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
@@ -923,6 +948,13 @@ def oracle_sql() -> dict[str, str]:
             tile_assign_oracle_sql(LON_SQL, f"({LAT_SQL} + 2.0)", 6),
             tile_assign_oracle_sql(LON_SQL, f"({LAT_SQL})", 6),
         ]),
+        "q_st_distance": """
+            SELECT event_id,
+                   round(sqrt(pow(CAST(1 + event_id % 3 AS DOUBLE), 2)
+                              + pow(CAST(1 + event_id % 4 AS DOUBLE), 2)), 6)
+                     AS dist
+            FROM events
+        """,
         "q_doc_fingerprint": """
             SELECT doc_id,
                    MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[^a-z0-9]+', ' ', 'g')) AS fp

@@ -489,3 +489,51 @@ def st_simplify_udf(tolerance: float):
         return pd.DataFrame(rows, columns=GEOMETRY_FIELDS)
 
     return st_simplify
+
+
+def point_geom_distance(px: float, py: float, xs, ys, ring_offsets) -> float:
+    """Planar min distance from a point to a geometry's segments/vertices
+    (0 when on a segment). Vectorized over all segments at once."""
+    x = np.asarray(xs, dtype=np.float64)
+    y = np.asarray(ys, dtype=np.float64)
+    off = np.asarray(ring_offsets)
+    if len(x) == 0:
+        return float("nan")
+    if len(x) == 1:
+        return float(np.hypot(px - x[0], py - y[0]))
+    # segment endpoints, excluding the joints between parts
+    keep = np.ones(len(x) - 1, dtype=bool)
+    keep[off[1:-1] - 1] = False
+    ax, ay = x[:-1][keep], y[:-1][keep]
+    bx, by = x[1:][keep], y[1:][keep]
+    if len(ax) == 0:
+        return float(np.min(np.hypot(px - x, py - y)))
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    t = np.where(L2 > 0, ((px - ax) * dx + (py - ay) * dy) / np.where(L2 > 0, L2, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    return float(np.min(np.hypot(px - cx, py - cy)))
+
+
+def st_distance_udf():
+    """pandas_udf: (x, y, GEOMETRY) -> planar distance to the geometry's
+    boundary/vertices (double). Interior of polygons is NOT treated as
+    distance 0 -- combine with st_contains_point for signed semantics."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def st_distance(px: pd.Series, py: pd.Series, geom: pd.DataFrame) -> pd.Series:
+        out = []
+        recs = geom.to_dict("records")
+        for x, y, row in zip(px, py, recs):
+            if row.get("xs") is None:
+                out.append(None)
+            else:
+                out.append(point_geom_distance(
+                    float(x), float(y), row["xs"], row["ys"],
+                    row["ring_offsets"]))
+        return pd.Series(out, dtype="float64")
+
+    return st_distance

@@ -259,3 +259,19 @@ def test_dp_simplify_properties():
         # idempotence
         keep2 = dp_simplify(kx, ky, tol)
         assert keep2.all()
+
+
+def test_point_geom_distance():
+    from spatial.kernels import point_geom_distance
+
+    sq_x, sq_y, off = [0, 2, 2, 0, 0], [0, 0, 2, 2, 0], [0, 5]
+    assert point_geom_distance(5, 6, sq_x, sq_y, off) == 5.0   # corner
+    assert point_geom_distance(1, 3, sq_x, sq_y, off) == 1.0   # edge
+    assert point_geom_distance(1, 0, sq_x, sq_y, off) == 0.0   # on edge
+    assert point_geom_distance(1, 1, sq_x, sq_y, off) == 1.0   # interior->boundary
+    # cross-part joint segments must not count: two far-apart rings
+    assert point_geom_distance(
+        0, 0, [10, 11, 11, 10, 10, 5, 6, 6, 5, 5],
+        [10, 10, 11, 11, 10, 0, 0, 1, 1, 0], [0, 5, 10]) == 5.0
+    # single point geometry
+    assert point_geom_distance(3, 4, [0.0], [0.0], [0, 1]) == 5.0
