@@ -118,3 +118,35 @@ def test_join_out_matches_oracle(spark, tmp_path):
         for u in located.url.to_numpy()[inside]:
             want.add((u, rid))
     assert got == want
+
+
+def test_cluster_cells_output_identical_and_range_partitioned(spark, tmp_path):
+    """cluster_cells=N must not change the join_out row set, and each written
+    parquet part file must own a cell interval disjoint from the others."""
+    import pyarrow.parquet as pq
+
+    _run(spark, tmp_path / "plain")
+    _run(spark, tmp_path / "clustered", cluster_cells=4)
+    h1, n1 = _table_hash(spark, tmp_path / "plain", "join_out",
+                         ["url", "region_id", "x", "y"])
+    h2, n2 = _table_hash(spark, tmp_path / "clustered", "join_out",
+                         ["url", "region_id", "x", "y"])
+    assert (h1, n1) == (h2, n2)
+
+    # per-file cell min/max from parquet footers, per batch dir
+    import glob
+    import os
+
+    for bdir in sorted(glob.glob(str(tmp_path / "clustered" / "join_out" / "batch=*"))):
+        spans = []
+        for f in glob.glob(os.path.join(bdir, "*.parquet")):
+            pf = pq.ParquetFile(f)
+            ci = pf.schema_arrow.names.index("cell")
+            md = pf.metadata
+            stats = [md.row_group(i).column(ci).statistics
+                     for i in range(md.num_row_groups)]
+            spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+        assert len(spans) > 1  # clustering actually produced multiple files
+        spans.sort()
+        for (l1, u1), (l2, u2) in zip(spans, spans[1:]):
+            assert u1 <= l2, (u1, l2)
