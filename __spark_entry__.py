@@ -674,6 +674,18 @@ def q_st_distance(spark, sf_dir):
     return ev.select("event_id", F.round(d, 6).alias("dist"))
 
 
+def q_st_transform(spark, sf_dir):
+    """SRID reprojection 4326 -> 3857 (spherical Web-Mercator closed form,
+    pure column math). Rounded at 4 decimals (0.1 mm): libm tan/ln ulp
+    differences are ~1e-9 m against a 5e-5 boundary distance."""
+    from spatial.crs import st_transform
+    x3857, y3857 = st_transform(_lon(), _lat(), 4326, 3857)
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.round(x3857, 4).alias("merc_x"), F.round(y3857, 4).alias("merc_y"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -726,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_simplify": q_st_simplify,
         "q_tile_cover": q_tile_cover,
         "q_st_distance": q_st_distance,
+        "q_st_transform": q_st_transform,
         # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
@@ -953,6 +966,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(pow(CAST(1 + event_id % 3 AS DOUBLE), 2)
                               + pow(CAST(1 + event_id % 4 AS DOUBLE), 2)), 6)
                      AS dist
+            FROM events
+        """,
+        "q_st_transform": f"""
+            SELECT event_id,
+                   round(6378137.0 * radians({LON_SQL}), 4) AS merc_x,
+                   round(6378137.0 * ln(tan(0.7853981633974483
+                                            + radians({LAT_SQL}) / 2.0)), 4)
+                     AS merc_y
             FROM events
         """,
         "q_doc_fingerprint": """
