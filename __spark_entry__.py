@@ -686,6 +686,31 @@ def q_st_transform(spark, sf_dir):
         F.round(x3857, 4).alias("merc_x"), F.round(y3857, 4).alias("merc_y"))
 
 
+def q_clip_bbox(spark, sf_dir):
+    """Sutherland-Hodgman bbox clip (tile clipping primitive): a 4x4 square
+    at integer offset (a, b) clipped to the window [0,10]^2. Axis-aligned
+    edges intersect window lines at integer coordinates, so the clipped
+    shoelace area is integer-exact in doubles -- no rounding in the oracle."""
+    from spatial.kernels import st_area_udf, st_clip_bbox_udf
+    a = (F.col("event_id") % 12 - 2).cast("double")
+    b = (F.col("event_id") % 9 - 2).cast("double")
+    sq = F.struct(
+        F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(a, a + 4.0, a + 4.0, a, a).alias("xs"),
+        F.array(b, b, b + 4.0, b + 4.0, b).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir)
+    clipped = st_clip_bbox_udf(0.0, 0.0, 10.0, 10.0)(sq)
+    return ev.select(
+        "event_id",
+        F.coalesce(st_area_udf()(clipped), F.lit(0.0)).alias("clip_area"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -739,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_cover": q_tile_cover,
         "q_st_distance": q_st_distance,
         "q_st_transform": q_st_transform,
+        "q_clip_bbox": q_clip_bbox,
         # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
@@ -974,6 +1000,15 @@ def oracle_sql() -> dict[str, str]:
                    round(6378137.0 * ln(tan(0.7853981633974483
                                             + radians({LAT_SQL}) / 2.0)), 4)
                      AS merc_y
+            FROM events
+        """,
+        "q_clip_bbox": """
+            SELECT event_id,
+                   (LEAST(CAST(event_id % 12 - 2 AS DOUBLE) + 4.0, 10.0)
+                    - GREATEST(CAST(event_id % 12 - 2 AS DOUBLE), 0.0))
+                   * (LEAST(CAST(event_id % 9 - 2 AS DOUBLE) + 4.0, 10.0)
+                      - GREATEST(CAST(event_id % 9 - 2 AS DOUBLE), 0.0))
+                     AS clip_area
             FROM events
         """,
         "q_doc_fingerprint": """

@@ -537,3 +537,95 @@ def st_distance_udf():
         return pd.Series(out, dtype="float64")
 
     return st_distance
+
+
+# ---------------------------------------------------------------------------
+# bbox clipping (tile pipelines clip vector features to tile bounds before
+# rendering/serialization; Sutherland-Hodgman against an axis-aligned window)
+# ---------------------------------------------------------------------------
+
+def clip_ring_bbox(xs, ys, minx: float, miny: float,
+                   maxx: float, maxy: float) -> tuple:
+    """Sutherland-Hodgman clip of one closed ring against an axis-aligned
+    rectangle. Returns (xs, ys) of the clipped ring, closed; empty arrays
+    when the ring lies fully outside. Convex-window clipping of any simple
+    ring yields a single simple ring."""
+    px = list(np.asarray(xs, dtype=np.float64)[:-1])  # drop closing vertex
+    py = list(np.asarray(ys, dtype=np.float64)[:-1])
+
+    def clip_edge(inside, intersect):
+        nonlocal px, py
+        if not px:
+            return
+        ox, oy = [], []
+        n = len(px)
+        for i in range(n):
+            cx_, cy_ = px[i], py[i]
+            prx, pry = px[i - 1], py[i - 1]
+            cin, pin = inside(cx_, cy_), inside(prx, pry)
+            if cin:
+                if not pin:
+                    ix, iy = intersect(prx, pry, cx_, cy_)
+                    ox.append(ix); oy.append(iy)
+                ox.append(cx_); oy.append(cy_)
+            elif pin:
+                ix, iy = intersect(prx, pry, cx_, cy_)
+                ox.append(ix); oy.append(iy)
+        px, py = ox, oy
+
+    def x_cross(x0, y0, x1, y1, xc):
+        t = (xc - x0) / (x1 - x0)
+        return xc, y0 + t * (y1 - y0)
+
+    def y_cross(x0, y0, x1, y1, yc):
+        t = (yc - y0) / (y1 - y0)
+        return x0 + t * (x1 - x0), yc
+
+    clip_edge(lambda x, y: x >= minx, lambda *s: x_cross(*s, minx))
+    clip_edge(lambda x, y: x <= maxx, lambda *s: x_cross(*s, maxx))
+    clip_edge(lambda x, y: y >= miny, lambda *s: y_cross(*s, miny))
+    clip_edge(lambda x, y: y <= maxy, lambda *s: y_cross(*s, maxy))
+    if not px:
+        return [], []
+    px.append(px[0]); py.append(py[0])
+    return px, py
+
+
+def st_clip_bbox_udf(minx: float, miny: float, maxx: float, maxy: float):
+    """pandas_udf: GEOMETRY -> GEOMETRY clipped to the rectangle (polygons:
+    per-ring Sutherland-Hodgman; empty result -> null geometry)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .geometry import GEOMETRY, GEOMETRY_FIELDS
+
+    @pandas_udf(GEOMETRY)
+    def st_clip_bbox(geom: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for row in geom.to_dict("records"):
+            if row.get("xs") is None:
+                rows.append({f: None for f in GEOMETRY_FIELDS})
+                continue
+            xs = np.asarray(row["xs"], dtype=np.float64)
+            ys = np.asarray(row["ys"], dtype=np.float64)
+            off = np.asarray(row["ring_offsets"])
+            nx: list = []
+            ny: list = []
+            noff = [0]
+            for a, b in zip(off[:-1], off[1:]):
+                cx_, cy_ = clip_ring_bbox(xs[a:b], ys[a:b],
+                                          minx, miny, maxx, maxy)
+                if cx_:
+                    nx.extend(cx_); ny.extend(cy_)
+                    noff.append(len(nx))
+            if len(noff) == 1:
+                rows.append({f: None for f in GEOMETRY_FIELDS})
+                continue
+            out = dict(row)
+            out["xs"], out["ys"] = nx, ny
+            out["zs"], out["ms"] = None, None
+            out["ring_offsets"] = noff
+            out["part_offsets"] = [0, len(noff) - 1]
+            rows.append(out)
+        return pd.DataFrame(rows, columns=GEOMETRY_FIELDS)
+
+    return st_clip_bbox

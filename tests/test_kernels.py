@@ -275,3 +275,36 @@ def test_point_geom_distance():
         [10, 10, 11, 11, 10, 0, 0, 1, 1, 0], [0, 5, 10]) == 5.0
     # single point geometry
     assert point_geom_distance(3, 4, [0.0], [0.0], [0, 1]) == 5.0
+
+
+def test_clip_ring_bbox():
+    from spatial.kernels import clip_ring_bbox, geom_area
+
+    # overlapping squares -> intersection square
+    xs, ys = clip_ring_bbox([0, 4, 4, 0, 0], [0, 0, 4, 4, 0], 2, 2, 6, 6)
+    assert geom_area(xs, ys, [0, len(xs)]) == 4.0
+    # fully outside -> empty
+    assert clip_ring_bbox([0, 1, 1, 0, 0], [0, 0, 1, 1, 0], 5, 5, 6, 6) == ([], [])
+    # fully inside -> unchanged area
+    xs, ys = clip_ring_bbox([0, 1, 1, 0, 0], [0, 0, 1, 1, 0], -5, -5, 5, 5)
+    assert geom_area(xs, ys, [0, len(xs)]) == 1.0
+    # triangle x+y<=4 clipped to [0,3]^2: area 8 - corner triangle over the
+    # line inside the window: window corner (3,3) is outside (3+3>4) ->
+    # clipped area = 9 - 0.5*2*2 = 7... compute independently:
+    xs, ys = clip_ring_bbox([0, 4, 0, 0], [0, 0, 4, 0], 0, 0, 3, 3)
+    a = geom_area(xs, ys, [0, len(xs)])
+    assert abs(a - 7.0) < 1e-12
+    # random convex-window clip property: clipped area <= both areas
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 8))
+        r = rng.uniform(1, 5, 8)
+        ring_x = list(r * np.cos(ang)) + [float(r[0] * np.cos(ang[0]))]
+        ring_y = list(r * np.sin(ang)) + [float(r[0] * np.sin(ang[0]))]
+        area0 = geom_area(ring_x, ring_y, [0, len(ring_x)])
+        xs, ys = clip_ring_bbox(ring_x, ring_y, -2, -2, 2, 2)
+        if xs:
+            a = geom_area(xs, ys, [0, len(xs)])
+            assert a <= area0 + 1e-9 and a <= 16.0 + 1e-9
