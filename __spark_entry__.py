@@ -711,6 +711,29 @@ def q_clip_bbox(spark, sf_dir):
         F.coalesce(st_area_udf()(clipped), F.lit(0.0)).alias("clip_area"))
 
 
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + date predicates + decimal-exact revenue
+    + deterministic top-10. Exercises join ordering / pushdown breadth."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum((price * (F.lit(1).cast(_DEC) - disc)).cast("decimal(28,4)"))
+             .cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -765,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_distance": q_st_distance,
         "q_st_transform": q_st_transform,
         "q_clip_bbox": q_clip_bbox,
+        "q3_shipping_priority": q3_shipping_priority,
         # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
@@ -1010,6 +1034,22 @@ def oracle_sql() -> dict[str, str]:
                       - GREATEST(CAST(event_id % 9 - 2 AS DOUBLE), 0.0))
                      AS clip_area
             FROM events
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate  > TIMESTAMP '1995-03-15'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
         """,
         "q_doc_fingerprint": """
             SELECT doc_id,
