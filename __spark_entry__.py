@@ -734,6 +734,26 @@ def q3_shipping_priority(spark, sf_dir):
     )
 
 
+def q_st_envelope(spark, sf_dir):
+    """ST_Envelope: bbox of a per-event right triangle via the pure-JVM
+    array_min/array_max bbox kernel (no UDF). Corners are closed-form."""
+    from spatial.kernels import geom_bbox_cols
+    x, y = _lon(), _lat()
+    tri = F.struct(
+        F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(x, x + 3.0, x + 1.0, x).alias("xs"),
+        F.array(y + 1.0, y, y + 2.0, y + 1.0).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(4)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir)
+    minx, miny, maxx, maxy = geom_bbox_cols(tri)
+    return ev.select("event_id", minx, miny, maxx, maxy)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -789,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_transform": q_st_transform,
         "q_clip_bbox": q_clip_bbox,
         "q3_shipping_priority": q3_shipping_priority,
+        "q_st_envelope": q_st_envelope,
         # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
@@ -1050,6 +1071,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "q_st_envelope": f"""
+            SELECT event_id,
+                   {LON_SQL} AS bbox_minx, {LAT_SQL} AS bbox_miny,
+                   {LON_SQL} + 3.0 AS bbox_maxx, {LAT_SQL} + 2.0 AS bbox_maxy
+            FROM events
         """,
         "q_doc_fingerprint": """
             SELECT doc_id,
