@@ -754,6 +754,18 @@ def q_st_envelope(spark, sf_dir):
     return ev.select("event_id", minx, miny, maxx, maxy)
 
 
+def q_quality_scores(spark, sf_dir):
+    """Quality-score prefilter (length/word-length/alpha/stopword blend) --
+    a pure JVM column program, replayed in DuckDB list/regex SQL for the
+    oracle; round(6) absorbs summation-order ulps."""
+    from spatial.datapipe.textstats import quality_score, token_count
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -810,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clip_bbox": q_clip_bbox,
         "q3_shipping_priority": q3_shipping_priority,
         "q_st_envelope": q_st_envelope,
+        "q_quality_scores": q_quality_scores,
         # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
@@ -1077,6 +1090,37 @@ def oracle_sql() -> dict[str, str]:
                    {LON_SQL} AS bbox_minx, {LAT_SQL} AS bbox_miny,
                    {LON_SQL} + 3.0 AS bbox_maxx, {LAT_SQL} + 2.0 AS bbox_maxy
             FROM events
+        """,
+        "q_quality_scores": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, ws, len(ws) AS n,
+                     CASE WHEN len(ws) > 0 THEN
+                       CAST(list_sum(list_transform(ws, x -> length(x)))
+                            AS DOUBLE) / len(ws)
+                     ELSE 0.0 END AS mwl,
+                     CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text,
+                            '[^A-Za-zÀ-ɏ ]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                     ELSE 0.0 END AS alpha,
+                     CASE WHEN len(ws) > 0 THEN
+                       CAST(len(list_filter(ws, x -> list_contains(
+                         ['the','and','of','to','in','is','that','for',
+                          'with','was'], x))) AS DOUBLE) / len(ws)
+                     ELSE 0.0 END AS stop
+              FROM w
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   round((least(n / 100.0, 1.0)
+                          + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                                  THEN 1.0 ELSE 0.3 END)
+                          + alpha + stop) / 4.0, 6) AS quality
+            FROM m
         """,
         "q_doc_fingerprint": """
             SELECT doc_id,
