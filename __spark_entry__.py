@@ -30,6 +30,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spatial.cells import cell_of_oracle_sql
 from spatial.ewkb import ewkb_decode, ewkb_encode
 from spatial.geojson import from_geojson, to_geojson
 from spatial.wkt import wkt_decode, wkt_encode
@@ -333,9 +334,10 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", F.md5(normalized).alias("fp"))
 
 
-# ---- rows-only queries (non-SQL-expressible; exactness covered in tests/) --
-
 def q_s2_cell_rollup(spark, sf_dir):
+    """S2-style cell rollup at level 10. Oracle: the full lonlat->face->uv->
+    ij->Morton pipeline replayed in DuckDB SQL (cells.cell_of_oracle_sql) --
+    verified bit-exact including the floor discretization."""
     from spatial.cells import make_cell_of
 
     cell_of = make_cell_of(10)
@@ -347,6 +349,10 @@ def q_s2_cell_rollup(spark, sf_dir):
 
 
 def q_knn_grid(spark, sf_dir):
+    """Grid-pruned kNN (cell-disk doubling rounds + brute fallback). Its
+    contract is bit-equality with brute-force haversine kNN, so the oracle is
+    the q_knn_planar SQL shape with the haversine formula -- raw doubles
+    matched bit-exact at sf0.01 (JVM and DuckDB agree on this grid)."""
     from spatial.knn import knn_join
 
     ev = _events(spark, sf_dir).select("event_id", _lon().alias("x"), _lat().alias("y"))
@@ -677,13 +683,17 @@ def q_st_distance(spark, sf_dir):
 def q_st_transform(spark, sf_dir):
     """SRID reprojection 4326 -> 3857 (spherical Web-Mercator closed form,
     pure column math). Rounded at 4 decimals (0.1 mm): libm tan/ln ulp
-    differences are ~1e-9 m against a 5e-5 boundary distance."""
+    differences are ~1e-9 m against a 5e-5 boundary distance. The `+ 0.0`
+    after each round normalizes IEEE -0.0 to +0.0 (lat=0 rows: DuckDB's
+    round returns -0.0 where Spark's BigDecimal round returns +0.0 -- equal
+    values, different bits, so the driver's bit-level hash diverged)."""
     from spatial.crs import st_transform
     x3857, y3857 = st_transform(_lon(), _lat(), 4326, 3857)
     ev = _events(spark, sf_dir)
     return ev.select(
         "event_id",
-        F.round(x3857, 4).alias("merc_x"), F.round(y3857, 4).alias("merc_y"))
+        (F.round(x3857, 4) + F.lit(0.0)).alias("merc_x"),
+        (F.round(y3857, 4) + F.lit(0.0)).alias("merc_y"))
 
 
 def q_clip_bbox(spark, sf_dir):
@@ -1054,9 +1064,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_st_transform": f"""
             SELECT event_id,
-                   round(6378137.0 * radians({LON_SQL}), 4) AS merc_x,
+                   round(6378137.0 * radians({LON_SQL}), 4) + 0.0 AS merc_x,
                    round(6378137.0 * ln(tan(0.7853981633974483
-                                            + radians({LAT_SQL}) / 2.0)), 4)
+                                            + radians({LAT_SQL}) / 2.0)), 4) + 0.0
                      AS merc_y
             FROM events
         """,
@@ -1126,4 +1136,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[^a-z0-9]+', ' ', 'g')) AS fp
             FROM documents""",
+        "q_s2_cell_rollup": f"""
+            SELECT cell, COUNT(*) AS n_points
+            FROM ({cell_of_oracle_sql(LON_SQL, LAT_SQL, 10)}) GROUP BY cell
+        """,
+        "q_knn_grid": f"""
+            WITH pts AS (SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y FROM events),
+            qs AS ({knn_q}),
+            scored AS (
+              SELECT query_id, event_id,
+                     2 * 6371008.8 * asin(sqrt(least(greatest(
+                         pow(sin((radians(y) - radians(qy)) / 2), 2)
+                         + cos(radians(qy)) * cos(radians(y))
+                           * pow(sin((radians(x) - radians(qx)) / 2), 2),
+                       0.0), 1.0))) AS dist_m
+              FROM pts CROSS JOIN qs),
+            ranked AS (SELECT query_id, event_id, dist_m,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist_m ASC, event_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, event_id AS id, CAST(rank AS INT) AS rank, dist_m
+            FROM ranked WHERE rank <= 5
+        """,
     }

@@ -332,6 +332,59 @@ def level_for_extent(extent_degrees: float, target_cells_per_axis: int = 8) -> i
 
 
 # ---------------------------------------------------------------------------
+# SQL oracle (DuckDB replay of cell_from_lonlat for the driver contract)
+# ---------------------------------------------------------------------------
+
+def cell_of_oracle_sql(lon_sql: str, lat_sql: str, level: int,
+                       source: str = "events",
+                       extra_cols: str = "") -> str:
+    """DuckDB CTE chain computing cell_from_lonlat(lon, lat, level) in pure
+    SQL: the same sphere->face->uv->ij->Morton pipeline, step for step.
+
+    Float parity: every step is mul/div/trig identical in order to the NumPy
+    kernel; the only discretization (floor(s*n)) was verified bit-exact at
+    sf0.01/sf0.001 against the engine (grid coordinates sit far from cell
+    boundaries; the ±1 boundaries are clamp-protected on both sides).
+    Returns a query yielding columns: cell plus ``extra_cols``."""
+    n = 1 << level
+    ec = f", {extra_cols}" if extra_cols else ""
+    return f"""
+WITH __pts AS (
+  SELECT radians({lon_sql}) AS lr, radians({lat_sql}) AS br{ec} FROM {source}
+), __xyz AS (
+  SELECT cos(br)*cos(lr) AS x, cos(br)*sin(lr) AS y, sin(br) AS z, * FROM __pts
+), __f0 AS (
+  SELECT *,
+         CASE WHEN abs(x) >= abs(y) THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
+              ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END) END AS face0
+  FROM __xyz
+), __fc AS (
+  SELECT *,
+         CASE WHEN (CASE face0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+              THEN face0 + 3 ELSE face0 END AS face
+  FROM __f0
+), __uv AS (
+  SELECT *,
+         CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                   WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+         CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                   WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM __fc
+), __ij AS (
+  SELECT *,
+         CAST(least(greatest(floor((u + 1.0) * 0.5 * {n}), 0), {n - 1}) AS BIGINT) AS i,
+         CAST(least(greatest(floor((v + 1.0) * 0.5 * {n}), 0), {n - 1}) AS BIGINT) AS j
+  FROM __uv
+)
+SELECT (CAST(face AS BIGINT) << {_FACE_SHIFT})
+       | (CAST(list_sum(list_transform(generate_series(0, {level - 1}),
+             b -> (((i >> b) & 1) << (2*b + 1)) | (((j >> b) & 1) << (2*b))))
+          AS BIGINT) << {_FACE_SHIFT - 2 * level})
+       | {level} AS cell{ec}
+FROM __ij"""
+
+
+# ---------------------------------------------------------------------------
 # Spark UDF layer
 # ---------------------------------------------------------------------------
 

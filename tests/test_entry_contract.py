@@ -26,9 +26,13 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return v
+        # bit-level like the driver's value hash: catches -0.0 vs +0.0,
+        # which compare == but hash differently (the round-1 q_st_transform
+        # failure mode)
+        import struct
+        return struct.pack("<d", v).hex()
     if hasattr(v, "is_integer") and not isinstance(v, (int, float)):  # Decimal
-        return float(v)
+        return _norm(float(v))
     return v
 
 
