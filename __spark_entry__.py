@@ -361,6 +361,11 @@ def q_knn_grid(spark, sf_dir):
 
 
 def q_spatial_join_pages(spark, sf_dir):
+    """Flagship spatial join on the synthetic pages corpus. Oracle: the
+    direct quantifier-free spec -- geocode replayed in SQL, then an even-odd
+    ray cast per (point, region) with bit-identical expression order
+    (synth.spatial_join_oracle_sql); cover-cell candidate pruning is a
+    guaranteed superset so it cannot change the result set."""
     from spatial.ewkb import ewkb_decode as dec
     from spatial.join import spatial_join
     from spatial.pipeline import enrich_pages
@@ -375,6 +380,10 @@ def q_spatial_join_pages(spark, sf_dir):
 
 
 def q_geocode_rollup(spark, sf_dir):
+    """Geocode source rollup. Oracle: geocode LOGIC (coord regex + bounds,
+    longest-first city alternation, ccTLD centroid) replayed in DuckDB over
+    the shared pages fixture (geocode.geocode_oracle_sql); row-level lon/lat
+    parity verified bit-exact at n=2000 before reducing to the rollup."""
     from spatial.geocode import geocode_page
     from spatial.synth import synth_pages
 
@@ -413,21 +422,44 @@ def q_embedding_dups(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    from spatial.datapipe.similarity import (assign_clusters,
-                                             cosine_topk_bruteforce,
+    """IVF ANN exercising the REAL path (train_centroids -> assign_clusters
+    -> ivf_topk) with nprobe = n_clusters: probing every cluster makes IVF
+    provably exact (the per-query mask allows all rows), so brute-force
+    cosine SQL is a true oracle while the whole IVF machinery -- clustering,
+    probe-list selection, masked partial top-k -- runs for real. The
+    sub-linear nprobe < n_clusters regime is covered by the recall pytest
+    (tests/test_datapipe.py). Rank is recomputed over the 6-decimal-rounded
+    cosine (tie-break vec_id) so ordering is ulp-independent on both sides."""
+    from spatial.datapipe.similarity import (assign_clusters, ivf_topk,
                                              train_centroids)
 
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
     Q = np.asarray([_qvec(dim)])
-    return cosine_topk_bruteforce(emb, Q, k=10)
+    n_clusters = 8
+    C = train_centroids(emb, n_clusters=n_clusters, seed=42)
+    clustered = assign_clusters(emb, C)
+    res = ivf_topk(clustered, C, Q, k=10, nprobe=n_clusters)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        res.select("query_id", "vec_id",
+                   (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction with REAL decoding: image rows carry
+    genuine BMP payloads decoded by the from-scratch NumPy decoder; opaque
+    audio/video bytes deterministically fail into decode_ok=false rows.
+    Oracle: the payload-independent contract (kind cycle, fixed feat_dim,
+    decode_ok == decodable-format) in closed-form SQL."""
     from spatial.datapipe.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 120)
-    return extract_features(media, fake_decode=True).select(
+    return extract_features(media, fake_decode=False).select(
         "media_id", "kind", "feat_dim", "decode_ok")
 
 
@@ -846,6 +878,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _geocode_oracle() -> str:
+    from spatial.geocode import geocode_oracle_sql
+    from spatial.synth import pages_values_sql
+
+    return geocode_oracle_sql(pages_values_sql(2000))
+
+
+def _spatial_join_oracle() -> str:
+    from spatial.synth import spatial_join_oracle_sql
+
+    return spatial_join_oracle_sql(2000)
+
+
 def oracle_sql() -> dict[str, str]:
     tx8, ty8 = tile_assign_oracle_sql(LON_SQL, LAT_SQL, 8)
     tx6, ty6 = tile_assign_oracle_sql(LON_SQL, LAT_SQL, 6)
@@ -1140,6 +1185,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell, COUNT(*) AS n_points
             FROM ({cell_of_oracle_sql(LON_SQL, LAT_SQL, 10)}) GROUP BY cell
         """,
+        "q_multimodal_features": """
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                              ELSE 'video' END AS kind,
+                   CAST(16 AS INT) AS feat_dim,
+                   (i % 3 = 0) AS decode_ok
+            FROM (SELECT unnest(generate_series(0, 119)) AS i)
+        """,
+        "q_ann_ivf": f"""
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            scored AS (
+              SELECT vec_id,
+                     ROUND(list_dot_product(v, {qlist})
+                           / (SQRT(list_dot_product(v, v)) * {qn}), 6) + 0.0
+                       AS cosine
+              FROM base)
+            SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank,
+                   cosine
+            FROM scored QUALIFY rank <= 10""",
+        "q_geocode_rollup": f"""
+            SELECT geo_source, COUNT(*) AS n_pages
+            FROM ({_geocode_oracle()}) GROUP BY geo_source
+        """,
+        "q_spatial_join_pages": _spatial_join_oracle(),
         "q_knn_grid": f"""
             WITH pts AS (SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y FROM events),
             qs AS ({knn_q}),

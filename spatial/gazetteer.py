@@ -140,12 +140,22 @@ def gazetteer_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(CITIES, SCHEMA)
 
 
-def country_centroids_df(spark: SparkSession) -> DataFrame:
-    """One row per cc_tld: mean of its cities (deterministic)."""
-    from pyspark.sql import functions as F
+def country_centroids() -> list[tuple[str, float, float]]:
+    """(cc_tld, lon, lat) country centroids: mean of each TLD's cities,
+    computed once in plain Python in CITIES order. Part of the fixture (like
+    CITIES itself) so engine and oracle share literal values -- Spark avg()
+    and DuckDB AVG() differ in the last ulp (different summation/mean
+    algorithms), which broke bit-level oracle parity."""
+    by_tld: dict[str, list[tuple[float, float]]] = {}
+    for _city, _country, tld, lon, lat in CITIES:
+        by_tld.setdefault(tld, []).append((lon, lat))
+    return [
+        (tld, sum(p[0] for p in pts) / len(pts), sum(p[1] for p in pts) / len(pts))
+        for tld, pts in sorted(by_tld.items())
+    ]
 
-    return (
-        gazetteer_df(spark)
-        .groupBy("cc_tld")
-        .agg(F.avg("lon").alias("cc_lon"), F.avg("lat").alias("cc_lat"))
-    )
+
+def country_centroids_df(spark: SparkSession) -> DataFrame:
+    """One row per cc_tld: precomputed fixture centroids."""
+    return spark.createDataFrame(
+        country_centroids(), "cc_tld string, cc_lon double, cc_lat double")

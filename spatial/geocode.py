@@ -72,6 +72,71 @@ _CITY_NAMES = sorted((c[0] for c in CITIES), key=len, reverse=True)
 _CITY_RE = r"\b(" + trie_regex(_CITY_NAMES) + r")\b"
 
 
+def geocode_oracle_sql(pages_values: str) -> str:
+    """DuckDB replay of geocode_page for the driver oracle.
+
+    ``pages_values`` is a SQL VALUES body of (url, text) rows (the shared
+    input fixture, synth.pages_values_sql). The geocoding LOGIC -- coord-pair
+    regex + bounds, city-mention scan (flat longest-first alternation: same
+    leftmost-longest semantics as the engine's greedy prefix trie), ccTLD ->
+    country centroid -- is replayed in SQL against the gazetteer rendered as
+    a VALUES table. Float parity: coordinates come from string->double parse
+    (correctly rounded, identical in JVM and DuckDB) or from gazetteer
+    literals; centroids are precomputed fixture literals (gazetteer.
+    country_centroids) rendered in scientific notation so DuckDB parses them
+    directly as DOUBLE. Yields (url, lon, lat, geo_source)."""
+    import re as _re
+
+    from .gazetteer import country_centroids
+    from .synth import sql_double
+
+    gaz_rows = ",\n".join(
+        f"('{c[0]}', '{c[2]}', {sql_double(c[3])}, {sql_double(c[4])})"
+        for c in CITIES)
+    cc_rows = ",\n".join(
+        f"('{tld}', {sql_double(lon)}, {sql_double(lat)})"
+        for tld, lon, lat in country_centroids())
+    city_alt = "|".join(_re.escape(n) for n in _CITY_NAMES)
+    coord_re = _COORD_PAIR
+    return f"""
+WITH __pages(url, text) AS (VALUES
+{pages_values}
+), __gaz(city, cc_tld, g_lon, g_lat) AS (VALUES
+{gaz_rows}
+), __cc(cc_tld, cc_lon, cc_lat) AS (VALUES
+{cc_rows}
+), __sig AS (
+  SELECT url, text,
+         TRY_CAST(regexp_extract(text, '{coord_re}', 1) AS DOUBLE) AS lat_raw,
+         TRY_CAST(regexp_extract(text, '{coord_re}', 2) AS DOUBLE) AS lon_raw
+  FROM __pages
+), __coord AS (
+  SELECT *,
+         CASE WHEN lat_raw BETWEEN -90 AND 90
+                   AND lon_raw BETWEEN -180 AND 180 THEN lat_raw END AS coord_lat
+  FROM __sig
+), __hits AS (
+  SELECT url, text, coord_lat,
+         CASE WHEN coord_lat IS NOT NULL THEN lon_raw END AS coord_lon,
+         CASE WHEN coord_lat IS NULL THEN
+           NULLIF(regexp_extract(lower(text), '\\b({city_alt})\\b', 1), '')
+         END AS city_hit,
+         regexp_extract(url, '{_CCTLD_RE}', 1) AS cctld
+  FROM __coord
+), __geo AS (
+  SELECT h.url,
+         COALESCE(h.coord_lon, g.g_lon, c.cc_lon) AS lon,
+         COALESCE(h.coord_lat, g.g_lat, c.cc_lat) AS lat,
+         CASE WHEN h.coord_lon IS NOT NULL THEN 'coords'
+              WHEN g.g_lon IS NOT NULL THEN 'city'
+              WHEN c.cc_lon IS NOT NULL THEN 'cctld' END AS geo_source
+  FROM __hits h
+  LEFT JOIN __gaz g ON h.city_hit = g.city
+  LEFT JOIN __cc c ON h.cctld = c.cc_tld
+)
+SELECT url, lon, lat, geo_source FROM __geo"""
+
+
 def geocode_page(df: DataFrame, text_col: str = "text",
                  url_col: str = "url") -> DataFrame:
     """Adds lon, lat, geo_source, geo_confidence columns."""

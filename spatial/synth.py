@@ -122,12 +122,14 @@ def synth_pages(spark: SparkSession, n_rows: int, seed: int = 42,
     return spark.range(0, n_rows, 1, parts).mapInPandas(gen, PAGES_SCHEMA)
 
 
-def synth_regions(spark: SparkSession, n_hot: int = _HOT_N, seed: int = 42,
-                  with_holes: bool = True) -> DataFrame:
-    """Polygon build side (FIXTURES.md §3): convex-ish rings around the hot
-    gazetteer cities, ~10% with one hole, as hex-EWKB srid=4326."""
+def region_rings(n_hot: int = _HOT_N, seed: int = 42,
+                 with_holes: bool = True) -> list[tuple[int, str, list]]:
+    """Pure-Python region fixture: [(region_id, city, [ring, ...])] with each
+    ring a closed [(x, y), ...]. Single source of truth for synth_regions AND
+    the driver-oracle SQL renderer (the oracle replays the JOIN LOGIC in SQL;
+    the input fixture is necessarily shared, like reading the same parquet)."""
     rng = np.random.default_rng(seed)
-    rows = []
+    out = []
     for i in range(n_hot):
         city, country, _, cx, cy = CITIES[i]
         rads = rng.uniform(0.8, 2.0)
@@ -142,6 +144,88 @@ def synth_regions(spark: SparkSession, n_hot: int = _HOT_N, seed: int = 42,
                     for a in ang]
             hole.append(hole[0])
             rings.append(hole)
+        out.append((i, city, rings))
+    return out
+
+
+def synth_regions(spark: SparkSession, n_hot: int = _HOT_N, seed: int = 42,
+                  with_holes: bool = True) -> DataFrame:
+    """Polygon build side (FIXTURES.md §3): convex-ish rings around the hot
+    gazetteer cities, ~10% with one hole, as hex-EWKB srid=4326."""
+    rows = []
+    for i, city, rings in region_rings(n_hot, seed, with_holes):
         g = polygon(rings, srid=4326)
         rows.append((i, city, encode_hex(g)))
     return spark.createDataFrame(rows, "region_id long, name string, geom_hex string")
+
+
+def pages_local(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """Driver-side replay of synth_pages' rows (pure function of (seed, idx),
+    identical to the distributed output at any partitioning). Used to render
+    the pages fixture into driver-oracle SQL."""
+    return _batch(np.arange(n_rows, dtype=np.int64), seed)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def sql_double(v: float) -> str:
+    """Render a float as a SQL literal that DuckDB parses DIRECTLY as DOUBLE
+    (correctly rounded, bit round-trip). Plain decimal literals type as
+    DECIMAL and the column-unified scale can round the value; scientific
+    notation forces the DOUBLE parse path."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def pages_values_sql(n_rows: int, seed: int = 42) -> str:
+    """(url, text) rows of the synthetic pages table as a SQL VALUES body."""
+    pdf = pages_local(n_rows, seed)
+    return ",\n".join(
+        f"({_sql_str(u)}, {_sql_str(t)})"
+        for u, t in zip(pdf["url"], pdf["text"])
+    )
+
+
+def regions_edges_values_sql(n_hot: int = _HOT_N, seed: int = 42,
+                             with_holes: bool = True) -> str:
+    """(region_id, edges) VALUES body: every ring's (incl. holes') directed
+    edges as a list-of-struct literal, for the SQL even-odd ray cast."""
+    rows = []
+    for rid, _city, rings in region_rings(n_hot, seed, with_holes):
+        edges = []
+        for ring in rings:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                edges.append(
+                    f"{{'x1': {sql_double(x1)}, 'y1': {sql_double(y1)}, "
+                    f"'x2': {sql_double(x2)}, 'y2': {sql_double(y2)}}}")
+        rows.append(f"({rid}, [{', '.join(edges)}])")
+    return ",\n".join(rows)
+
+
+def spatial_join_oracle_sql(n_pages: int, seed: int = 42) -> str:
+    """DuckDB replay of the flagship spatial join's OUTPUT CONTRACT:
+    (url, region_id) for every geocoded page whose point ray-casts inside a
+    region (even-odd over all rings -- bit-identical expression order to
+    kernels.pip_even_odd: straddle test then qx < (x2-x1)*(qy-y1)/(y2-y1)+x1).
+
+    The engine reaches the same set through cover-cells candidates + bbox
+    prefilter + vectorized PIP refine; cover_bbox is a guaranteed superset
+    and PIP-true implies strictly-inside-bbox, so candidate pruning cannot
+    change the result -- the oracle is the direct quantifier-free spec."""
+    from .geocode import geocode_oracle_sql
+
+    geo = geocode_oracle_sql(pages_values_sql(n_pages, seed))
+    return f"""
+WITH __regions(region_id, edges) AS (VALUES
+{regions_edges_values_sql()}
+), __pts AS (
+  SELECT url, lon, lat FROM ({geo}) WHERE lon IS NOT NULL
+)
+SELECT p.url, r.region_id
+FROM __pts p CROSS JOIN __regions r
+WHERE len(list_filter(r.edges, e ->
+        ((e.y1 > p.lat) != (e.y2 > p.lat))
+        AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+      )) % 2 = 1"""

@@ -199,7 +199,48 @@ def test_multimodal_plumbing(spark):
     # determinism
     again = extract_features(media, fake_decode=True).collect()
     assert [r["feat"] for r in again] == [r["feat"] for r in rows]
-    # real decode path is an explicit stub
+    # compressed formats remain an explicit stub without fake=True
     with pytest.raises(NotImplementedError):
         from spatial.datapipe.multimodal import decode_image
         decode_image(b"xx", {"width": 4, "height": 4})
+
+
+def test_multimodal_real_decode(spark):
+    """BMP image rows decode for REAL (no codec lib, no fake flag); opaque
+    audio/video payloads deterministically fail into decode_ok=false rows."""
+    media = synth_media(spark, 30)
+    rows = extract_features(media, fake_decode=False).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert all(r["decode_ok"] for r in by_kind["image"])
+    assert all(abs(sum(r["feat"]) - 1.0) < 1e-9 for r in by_kind["image"])
+    assert all(not r["decode_ok"] and r["feat"] is None
+               for r in by_kind["audio"] + by_kind["video"])
+
+
+def test_bmp_roundtrip():
+    import numpy as np
+
+    from spatial.datapipe.multimodal import decode_bmp, encode_bmp
+    rng = np.random.default_rng(7)
+    for h, w in [(16, 16), (5, 7), (1, 3)]:  # odd widths exercise row padding
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(gray))
+        assert out.shape == (h, w)
+        # gray written to all 3 channels: luma(g,g,g) == g exactly
+        assert (out == gray.astype(np.float64)).all()
+
+
+def test_ppm_decode():
+    import numpy as np
+
+    from spatial.datapipe.multimodal import decode_ppm
+    rng = np.random.default_rng(9)
+    w, h = 6, 4
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    payload = b"P6\n# comment\n6 4\n255\n" + rgb.tobytes()
+    out = decode_ppm(payload)
+    expect = np.floor(0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                      + 0.114 * rgb[:, :, 2] + 0.5)
+    assert (out == expect).all()

@@ -38,7 +38,8 @@ def _norm(v):
 
 def _rows(cols, data):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in data)
+    # key=repr: rows may contain NULLs (None is not orderable against str)
+    return sorted((tuple(_norm(r[i]) for i in order) for r in data), key=repr)
 
 
 def test_entry_smoke(spark):
