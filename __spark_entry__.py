@@ -12,10 +12,14 @@ Float-parity policy (so value-hashes match bit-for-bit):
 * cosine similarities are rounded to 6 decimals on both sides;
 * kNN distances use squared planar distance (mul/add only: IEEE-exact).
 
-Operators whose outputs are not SQL-expressible (S2 cell ids, MinHash/SimHash
-signatures, grid-pruned kNN internals, the pages pipeline) have queries()
-entries without oracle_sql() -- the driver records rows-only checks; their
-exactness is covered by tests/ (pure-Python oracles).
+Every queries() entry has an exact oracle_sql() entry (round 2): operators
+whose outputs looked non-SQL-expressible are replayed in full in DuckDB --
+S2 cell ids via the face/uv/Morton pipeline in SQL, MinHash/SimHash via
+HUGEINT limb-split uint64 arithmetic, grid-pruned kNN against brute-force
+haversine, the pages pipeline via the shared synthetic fixture + SQL geocode
++ SQL ray-cast. Where an operator's fixture is generated code (pages,
+gazetteer, LSH planes, minhash coefficients), the INPUT fixture is rendered
+into the SQL as literals and the LOGIC is re-derived by DuckDB.
 """
 
 from __future__ import annotations
@@ -393,6 +397,13 @@ def q_geocode_rollup(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs with planted twins. Oracle: the ENTIRE
+    pipeline replayed in DuckDB SQL (dedup.minhash_pairs_oracle_sql) -- the
+    uint64 rolling shingle hash + mix64 finalizer via HUGEINT limb-split
+    mulmod, per-permutation minima with the same A/B coefficients, raw
+    band-slice buckets with the size guard, the signature-estimate
+    prefilter, and the exact hashed-shingle Jaccard verify. Bit-exact at
+    sf0.01 (600 pairs)."""
     from spatial.datapipe.dedup import minhash_dedup_pairs
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -404,6 +415,11 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3 via pigeonhole blocks). Oracle:
+    full SQL replay (dedup.simhash_pairs_oracle_sql) -- same shingle hash,
+    per-bit majority votes with duplicate shingles counted, block buckets,
+    hamming filter. Bit-exact at sf0.01 (596 pairs incl. 96 organic
+    near-collisions beyond text equality)."""
     from spatial.datapipe.dedup import simhash_pairs
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -412,13 +428,20 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_embedding_dups(spark, sf_dir):
+    """Embedding near-dup pairs via sign-LSH + exact cosine verify. Oracle:
+    the full pipeline replayed in SQL (dedup.embedding_dups_oracle_sql) with
+    the hyperplane fixture inlined -- bucketing, the bucket-size guard,
+    ordered-pair expansion and the cosine verify all re-derived by DuckDB;
+    output cosine rounded at 6 decimals on both sides (matmul vs sequential
+    sum ulps)."""
     from spatial.datapipe.dedup import embedding_dup_pairs
 
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     twins = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
-    return embedding_dup_pairs(emb.union(twins), threshold=0.999,
-                               n_planes=12, n_tables=6)
+    pairs = embedding_dup_pairs(emb.union(twins), threshold=0.999,
+                                n_planes=12, n_tables=6)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -865,7 +888,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q_st_envelope": q_st_envelope,
         "q_quality_scores": q_quality_scores,
-        # rows-only (non-SQL-expressible; pure-Python oracles in tests/)
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
         "q_spatial_join_pages": q_spatial_join_pages,
@@ -889,6 +911,37 @@ def _spatial_join_oracle() -> str:
     from spatial.synth import spatial_join_oracle_sql
 
     return spatial_join_oracle_sql(2000)
+
+
+def _minhash_oracle() -> str:
+    from spatial.datapipe.dedup import minhash_pairs_oracle_sql
+
+    cte = """SELECT doc_id AS id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000 AS id, text || ' tail' FROM documents"""
+    return minhash_pairs_oracle_sql(cte, threshold=0.7, num_perm=64, bands=16)
+
+
+def _simhash_oracle() -> str:
+    from spatial.datapipe.dedup import simhash_pairs_oracle_sql
+
+    cte = """SELECT doc_id AS id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000 AS id, text FROM documents"""
+    return simhash_pairs_oracle_sql(cte)
+
+
+def _embedding_dups_oracle() -> str:
+    from spatial.datapipe.dedup import embedding_dups_oracle_sql
+
+    emb_cte = """
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings"""
+    return embedding_dups_oracle_sql(emb_cte, dim=64, threshold=0.999,
+                                     n_planes=12, n_tables=6)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1185,6 +1238,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell, COUNT(*) AS n_points
             FROM ({cell_of_oracle_sql(LON_SQL, LAT_SQL, 10)}) GROUP BY cell
         """,
+        "q_minhash_pairs": _minhash_oracle(),
+        "q_simhash_pairs": _simhash_oracle(),
+        "q_embedding_dups": _embedding_dups_oracle(),
         "q_multimodal_features": """
             SELECT CAST(i AS BIGINT) AS media_id,
                    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

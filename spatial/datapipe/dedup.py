@@ -82,10 +82,17 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 # -- MinHash + LSH ------------------------------------------------------------
 
-def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
+def minhash_coeffs(num_perm: int = 64, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic universal-hash coefficients (A odd, B): shared by the
+    engine UDF and the driver-oracle SQL renderer."""
     rng = np.random.default_rng(seed)
     A = rng.integers(1, 2**63 - 1, num_perm, dtype=np.int64).astype(np.uint64) | np.uint64(1)
     B = rng.integers(0, 2**63 - 1, num_perm, dtype=np.int64).astype(np.uint64)
+    return A, B
+
+
+def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
+    A, B = minhash_coeffs(num_perm, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash(text: pd.Series) -> pd.Series:
@@ -126,21 +133,40 @@ def minhash_candidates(
         sig = df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig"))
     else:
         sig = sig_df.select("id", "sig")
-    band_cols = [
-        F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band))
-        .alias("bucket")
+    # Bucket key = the raw (band_index, band_slice) struct -- no hashing.
+    # Grouping on the value itself is collision-free by construction (an
+    # xxhash64 key admitted 2^-64 cross-band collisions) and is what lets
+    # the driver oracle replay the bucketing exactly in SQL.
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("vals"))
         for b in range(bands)
     ]
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
-    # One aggregate replaces the window-count guard + self-join: collect the
-    # (capped) member list per bucket, then expand ordered pairs JVM-side
-    # with array transforms -- no second shuffle of the banded rows, no hash
-    # build of a self-join, and map-side partial aggregation on the way in.
-    buckets = (
-        banded.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bucket"))
+    return _bucket_pairs(banded, max_bucket)
+
+
+def _bucket_pairs(banded: DataFrame, max_bucket: int,
+                  persist: bool = False) -> DataFrame:
+    """(id, bucket) rows -> distinct ordered candidate pairs (id_a < id_b).
+
+    Heavy buckets are dropped BEFORE any collect_list: a cheap count
+    aggregate (map-side partial) finds buckets with 2 <= n <= max_bucket,
+    the banded rows are left-semi-joined against that set, and only then is
+    the member list collected -- so a Zipf-degenerate bucket never
+    materializes its full member array in an aggregation buffer (the
+    un-spillable single-row OOM the old post-aggregation guard allowed).
+
+    ``persist=True`` caches the (id, bucket) rows, which this plan reads
+    twice -- pass it when producing them is expensive (a Python UDF sketch)
+    rather than a cheap projection of an already-cached signature frame."""
+    if persist:
+        banded = banded.persist()
+    counts = banded.groupBy("bucket").agg(F.count("*").alias("n"))
+    ok = counts.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("bucket")
+    pruned = banded.join(ok, "bucket", "left_semi")
+    buckets = pruned.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("ids"))
     pairs = F.expr(
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
@@ -148,7 +174,6 @@ def minhash_candidates(
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
-        # strict <: a bucket-hash collision across bands could list one id twice
         .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
@@ -202,32 +227,235 @@ def minhash_dedup_pairs(
     majority)."""
     num_perm = lsh_kw.get("num_perm", 64)
     mh = make_minhash_udf(num_perm, lsh_kw.get("shingle_k", 5))
-    # One signature pass, persisted: the plan below references `sigs` three
-    # times (banded candidate gen + both sides of the verify join); without
-    # the persist each branch would re-scan the source and re-run the UDF.
-    # MEMORY_AND_DISK default spills rather than OOMs at corpus scale; the
-    # cached width is id + 64 longs + the text needed for exact verify.
-    sigs = df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig"),
-                     F.col(text_col).alias("t")).persist()
+    # One signature pass, persisted WITHOUT the text column (id + 64 longs
+    # only -- caching the corpus text at scale would cache the corpus; text
+    # is joined back from the column-pruned source just for the exact
+    # verify). The plan references `sigs` three times (banded candidate gen
+    # + both sides of the estimate join).
+    sigs = df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig")).persist()
     cand = minhash_candidates(df, text_col, id_col, sig_df=sigs, **lsh_kw)
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
                         lambda x: x))
         / F.lit(float(num_perm))
     )
+    cand_est = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+                  "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+              "id_b")
+        .where(est >= threshold - estimate_margin)
+        .select("id_a", "id_b")
+    )
+    # Materialize the (tiny) estimate-filtered candidate set eagerly so the
+    # signature cache can be released here rather than leaking for the
+    # session lifetime (repeated calls used to accumulate cached corpora).
+    cand_est = cand_est.persist()
+    cand_est.count()
+    sigs.unpersist()
     jac = make_jaccard_udf(lsh_kw.get("shingle_k", 5))
-    pairs = (
-        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
-                              F.col("t").alias("ta")), "id_a")
-        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-                          F.col("t").alias("tb")), "id_b")
-        .withColumn("est", est)
-        .where(F.col("est") >= threshold - estimate_margin)
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    return (
+        cand_est.join(texts.select(F.col("id").alias("id_a"),
+                                   F.col("t").alias("ta")), "id_a")
+        .join(texts.select(F.col("id").alias("id_b"),
+                           F.col("t").alias("tb")), "id_b")
         .withColumn("jaccard", jac("ta", "tb"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return pairs
+
+
+# -- DuckDB oracle renderers (driver contract) ---------------------------------
+#
+# The shingle hash, minhash permutations and simhash votes are all uint64
+# arithmetic; DuckDB has no wrapping 64-bit multiply, so products run in
+# HUGEINT via 32-bit limb splitting:
+#     a*c mod 2^64 = (lo(a)*c + (hi(a)*c mod 2^32) * 2^32) mod 2^64
+# which keeps every intermediate < 2^97 (HUGEINT holds < 2^127). Verified
+# bit-equal to the NumPy wraparound semantics.
+
+_TWO32 = 4294967296
+_TWO64 = 18446744073709551616
+
+
+def _mulmod_sql(a: str, c: str, plus: str = "0") -> str:
+    """SQL for (a*c + plus) mod 2^64 over UBIGINT column/constant refs."""
+    return (f"CAST((CAST({a} % {_TWO32} AS HUGEINT) * {c} "
+            f"+ ((CAST({a} // {_TWO32} AS HUGEINT) * {c}) % {_TWO32}) * {_TWO32} "
+            f"+ {plus}) % {_TWO64} AS UBIGINT)")
+
+
+def shingle_hash_oracle_sql(docs_cte: str, k: int) -> str:
+    """CTE chain replaying _hash_shingles over ``docs_cte`` (id, text):
+    k-byte rolling polynomial hash then the _mix64 finalizer, yielding one
+    (id, pos, sh) row per shingle (duplicates preserved -- simhash votes
+    need them; jaccard DISTINCTs downstream). ASCII-only corpus assumption:
+    ascii(substr(..)) == utf-8 byte (checked: max codepoint 121)."""
+    P = 1099511628211
+    M1 = 0xFF51AFD7ED558CCD
+    M2 = 0xC4CEB9FE1A85EC53
+    leads = ", ".join(
+        f"lead(byte, {j}) OVER (PARTITION BY id ORDER BY pos) AS b{j}"
+        for j in range(1, k))
+    acc_ctes = []
+    prev = "__a1"
+    for j in range(1, k):
+        carry = ", ".join(f"b{x}" for x in range(j + 1, k))
+        carry = (carry + ", ") if carry else ""
+        acc_ctes.append(
+            f"__a{j + 1} AS (SELECT id, pos, {carry}"
+            f"{_mulmod_sql('acc', str(P), f'b{j}')} AS acc FROM {prev})")
+        prev = f"__a{j + 1}"
+    acc_chain = (",\n".join(acc_ctes) + ",\n") if acc_ctes else ""
+    return f"""
+__docs AS ({docs_cte}),
+__b AS (
+  SELECT id, pos, CAST(ascii(substr(text, pos, 1)) AS UBIGINT) AS byte
+  FROM (SELECT id, text, unnest(generate_series(1, length(text))) AS pos
+        FROM __docs)
+),
+__w AS (
+  SELECT id, pos, byte AS b0, {leads} FROM __b
+),
+__a1 AS (
+  SELECT id, pos, {", ".join(f"b{x}" for x in range(1, k))}, b0 AS acc
+  FROM __w WHERE b{k - 1} IS NOT NULL
+),
+{acc_chain}__x1 AS (SELECT id, pos, xor(acc, acc >> 33) AS z FROM {prev}),
+__m1 AS (SELECT id, pos, {_mulmod_sql('z', str(M1))} AS z FROM __x1),
+__x2 AS (SELECT id, pos, xor(z, z >> 33) AS z FROM __m1),
+__m2 AS (SELECT id, pos, {_mulmod_sql('z', str(M2))} AS z FROM __x2),
+__sh AS (SELECT id, pos, xor(z, z >> 33) AS sh FROM __m2)"""
+
+
+def minhash_pairs_oracle_sql(
+    docs_cte: str,
+    threshold: float = 0.8,
+    estimate_margin: float = 0.2,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket: int = 1000,
+    seed: int = 42,
+) -> str:
+    """Full SQL replay of minhash_dedup_pairs: shingle hash -> per-perm min
+    (same A/B coefficients) -> banded raw-slice buckets with the
+    2 <= n <= max_bucket guard -> ordered candidate pairs -> signature
+    estimate prefilter -> exact hashed-shingle Jaccard.
+
+    Float parity: every comparison is on exact small-integer ratios
+    (eq/num_perm, inter/union) against the SAME float constants the engine
+    uses (rendered with sql_double), so the boundary decisions agree
+    bit-for-bit."""
+    from ..synth import sql_double
+
+    rpb = num_perm // bands
+    A, B = minhash_coeffs(num_perm, seed)
+    perm_rows = ",\n".join(
+        f"({p}, {int(A[p])}::UBIGINT, {int(B[p])}::UBIGINT)"
+        for p in range(num_perm))
+    return f"""
+WITH {shingle_hash_oracle_sql(docs_cte, shingle_k)},
+__perm(p, a, b) AS (VALUES
+{perm_rows}
+),
+__vals AS (
+  SELECT id, p, {_mulmod_sql('sh', 'a', 'b')} AS val
+  FROM __sh CROSS JOIN __perm
+),
+__sig AS (
+  SELECT id, list(mv ORDER BY p) AS sig
+  FROM (SELECT id, p, MIN(val) AS mv FROM __vals GROUP BY id, p)
+  GROUP BY id
+),
+__band AS (
+  SELECT id, band, sig[(band*{rpb}+1):(band*{rpb}+{rpb})] AS vals
+  FROM __sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+),
+__okb AS (
+  SELECT band, vals FROM __band GROUP BY band, vals
+  HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+),
+__cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM __band a
+  JOIN __okb ok ON a.band = ok.band AND a.vals = ok.vals
+  JOIN __band b ON a.band = b.band AND a.vals = b.vals AND a.id < b.id
+),
+__est AS (
+  SELECT c.id_a, c.id_b
+  FROM __cand c
+  JOIN __sig sa ON sa.id = c.id_a
+  JOIN __sig sb ON sb.id = c.id_b
+  WHERE len(list_filter(generate_series(1, {num_perm}),
+                        i -> sa.sig[i] = sb.sig[i]))
+        / {float(num_perm)!r} >= {sql_double(threshold - estimate_margin)}
+),
+__dsh AS (SELECT DISTINCT id, sh FROM __sh),
+__sz AS (SELECT id, COUNT(*) AS n FROM __dsh GROUP BY id),
+__inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM __est c
+  JOIN __dsh x ON x.id = c.id_a
+  JOIN __dsh y ON y.id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b
+),
+__jac AS (
+  SELECT i.id_a, i.id_b,
+         i.inter / (za.n + zb.n - i.inter) AS jaccard
+  FROM __inter i
+  JOIN __sz za ON za.id = i.id_a
+  JOIN __sz zb ON zb.id = i.id_b
+)
+SELECT id_a, id_b, jaccard FROM __jac
+WHERE jaccard >= {sql_double(threshold)}"""
+
+
+def simhash_pairs_oracle_sql(
+    docs_cte: str,
+    max_hamming: int = 3,
+    shingle_k: int = 4,
+    max_bucket: int = 1000,
+) -> str:
+    """Full SQL replay of simhash_pairs: shingle hash -> per-bit majority
+    votes (duplicates counted, 2*cnt >= n tie rule) -> pigeonhole block
+    buckets with the same size guard -> ordered pairs -> hamming filter."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    return f"""
+WITH {shingle_hash_oracle_sql(docs_cte, shingle_k)},
+__vote AS (
+  SELECT id, b, SUM(CAST((sh >> b) & 1 AS BIGINT)) AS cnt, COUNT(*) AS n
+  FROM __sh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY id, b
+),
+__sim AS (
+  SELECT id,
+         CAST(SUM(CASE WHEN 2*cnt >= n THEN CAST(1 AS UBIGINT) << b
+                       ELSE 0::UBIGINT END) AS UBIGINT) AS sim
+  FROM __vote GROUP BY id
+),
+__band AS (
+  SELECT id, blk, (sim >> (blk*{width})) & {(1 << width) - 1} AS chunk
+  FROM __sim CROSS JOIN (SELECT unnest(generate_series(0, {n_blocks - 1})) AS blk)
+),
+__okb AS (
+  SELECT blk, chunk FROM __band GROUP BY blk, chunk
+  HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+),
+__cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM __band a
+  JOIN __okb ok ON a.blk = ok.blk AND a.chunk = ok.chunk
+  JOIN __band b ON a.blk = b.blk AND a.chunk = b.chunk AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.sim, sb.sim)) AS INT) AS hamming
+FROM __cand c
+JOIN __sim sa ON sa.id = c.id_a
+JOIN __sim sb ON sb.id = c.id_b
+WHERE bit_count(xor(sa.sim, sb.sim)) <= {max_hamming}"""
 
 
 # -- SimHash -------------------------------------------------------------------
@@ -263,41 +491,95 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sh = make_simhash_udf(shingle_k)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    sigs = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("sh"))
-    block_cols = [
-        F.xxhash64(F.lit(blk),
-                   F.shiftrightunsigned(F.col("sh"), blk * width)
-                   .bitwiseAND(F.lit((1 << width) - 1)))
-        .alias("bucket")
+    sigs = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("sh")).persist()
+    # Bucket key = the raw (block_index, block_bits) pair (16 bits of the
+    # signature) -- hash-free so the driver oracle can replay it in SQL, and
+    # narrower than the 64-bit hash it replaces.
+    block_structs = [
+        F.struct(F.lit(blk).alias("band"),
+                 F.shiftrightunsigned(F.col("sh"), blk * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("vals"))
         for blk in range(n_blocks)
     ]
-    banded = sigs.select("id", "sh", F.explode(F.array(*block_cols)).alias("bucket"))
-    # one aggregate per bucket, then JVM-side ordered-pair expansion with the
-    # hamming filter applied BEFORE the dedup shuffle (no self-join, no
-    # window pass; signatures ride along inside the collected structs)
-    buckets = (
-        banded.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    banded = sigs.select("id", F.explode(F.array(*block_structs)).alias("bucket"))
+    cand = _bucket_pairs(banded, max_bucket)
+    out = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+                  "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+              "id_b")
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
-    pairs = F.expr(
-        "flatten(transform(ms, (a, i) -> "
-        "transform(slice(ms, i + 2, size(ms)), b -> "
-        "struct(a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b))))"
-    )
-    hamming = F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b")))
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .withColumn("hamming", hamming)
-        .where((F.col("hamming") <= max_hamming)
-               & (F.col("p.id_a") < F.col("p.id_b")))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"),
-                "hamming")
-        .distinct()
-    )
+    return out
 
 
 # -- embedding cosine near-dup --------------------------------------------------
+
+def lsh_planes(n_tables: int, n_planes: int, dim: int,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic hyperplane tables (n_tables, n_planes, dim). Shared by
+    the engine and the driver-oracle SQL renderer (the planes are part of the
+    operator's fixture; the bucketing/verify LOGIC is replayed in SQL)."""
+    return np.random.default_rng(seed).normal(size=(n_tables, n_planes, dim))
+
+
+def embedding_dups_oracle_sql(
+    emb_cte: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+    max_bucket: int = 2000,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB replay of embedding_dup_pairs over ``emb_cte`` (a query
+    yielding id, v with v array<double>): sign-LSH buckets from the same
+    hyperplane literals, the same 2 <= |bucket| <= max_bucket guard, ordered
+    candidate pairs, exact cosine verify. The output cosine is rounded at 6
+    decimals -- the caller must round the engine output identically (NumPy
+    matmul vs sequential SQL sum differ in final ulps)."""
+    from ..synth import sql_double
+
+    planes = lsh_planes(n_tables, n_planes, dim, seed)
+    bucket_exprs = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            plane = "[" + ",".join(sql_double(x) for x in planes[t, p]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {plane}) > 0 "
+                f"THEN {1 << p} ELSE 0 END)")
+        bucket_exprs.append(
+            "(" + " + ".join(terms) + f" + {t * (1 << (n_planes + 2))})")
+    return f"""
+WITH __emb AS ({emb_cte}),
+__sk AS (
+  SELECT id, unnest([{", ".join(bucket_exprs)}]) AS bucket FROM __emb
+),
+__okb AS (
+  SELECT bucket FROM __sk GROUP BY bucket
+  HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+),
+__cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM __sk a
+  JOIN __okb ob ON a.bucket = ob.bucket
+  JOIN __sk b ON a.bucket = b.bucket AND a.id < b.id
+),
+__scored AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(va.v, vb.v)
+           / (sqrt(list_dot_product(va.v, va.v))
+              * sqrt(list_dot_product(vb.v, vb.v))) AS cos_raw
+  FROM __cand c
+  JOIN __emb va ON c.id_a = va.id
+  JOIN __emb vb ON c.id_b = vb.id
+)
+SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
+FROM __scored WHERE cos_raw >= {sql_double(threshold)}"""
+
 
 def embedding_dup_pairs(
     df: DataFrame,
@@ -316,8 +598,7 @@ def embedding_dup_pairs(
     from pyspark.sql.types import DoubleType
 
     dim_probe = df.select(F.size(vec_col)).first()[0]
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim_probe))
+    planes = lsh_planes(n_tables, n_planes, dim_probe, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def sketch(vecs: pd.Series) -> pd.Series:
@@ -344,21 +625,7 @@ def embedding_dup_pairs(
     # self-join.
     sk = df.select(F.col(id_col).alias("id"),
                    F.explode(sketch(vec_col)).alias("bucket"))
-    buckets = (
-        sk.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
-    pairs = F.expr(
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
-    )
-    cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    cand = _bucket_pairs(sk, max_bucket, persist=True)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
