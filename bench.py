@@ -135,6 +135,30 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
           lambda: entry_mod.q_s2_cell_rollup(spark, sf_dir).count())
     timed("ewkb_roundtrip",
           lambda: entry_mod.q_ewkb_roundtrip(spark, sf_dir).count())
+
+    # polygon-corpus decode: exercises the grouped template decode path
+    # (same-structure rows bulk-decoded with strided views, not per-row
+    # Python). Ring with 8 vertices + SRID per event.
+    x, y = entry_mod._lon(), entry_mod._lat()
+    from spatial.geometry import GEOMETRY  # noqa: F401  (schema sanity)
+    from spatial.ewkb import ewkb_encode
+    ring_xs = F.array(*[x + F.lit(float(i % 3)) for i in range(7)], x)
+    ring_ys = F.array(*[y + F.lit(float(i % 2)) for i in range(7)], y)
+    poly = F.struct(
+        F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        ring_xs.alias("xs"), ring_ys.alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(8)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    poly_hex = ev.select(ewkb_encode(poly).alias("hex")).persist()
+    poly_hex.count()
+    timed("ewkb_decode_polygons",
+          lambda: poly_hex.select(ewkb_decode("hex").alias("g"))
+          .select(F.size("g.xs").alias("n")).agg(F.sum("n")).collect())
+    poly_hex.unpersist()
     timed("knn_grid", lambda: entry_mod.q_knn_grid(spark, sf_dir).count())
     timed("textstats", lambda: with_textstats(docs).count())
     timed("minhash_dedup",

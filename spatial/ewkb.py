@@ -68,11 +68,12 @@ from .geometry import (
 # --------------------------------------------------------------------------
 
 class _Cursor:
-    __slots__ = ("buf", "off")
+    __slots__ = ("buf", "off", "spans")
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.off = 0
+        self.spans = None  # optional [(offset, n_points, dims, fmt)] log
 
 
 def _read_header(c: _Cursor):
@@ -101,6 +102,8 @@ def _read_header(c: _Cursor):
 def _read_coords(c: _Cursor, fmt: str, n: int, dims: int) -> np.ndarray:
     nb = n * dims * 8
     arr = np.frombuffer(c.buf, dtype=fmt + "f8", count=n * dims, offset=c.off)
+    if c.spans is not None:
+        c.spans.append((c.off, n, dims, fmt))
     c.off += nb
     return arr.reshape(n, dims)
 
@@ -349,15 +352,123 @@ def _decode_series_fast_points(s: pd.Series) -> Optional[pd.DataFrame]:
     )
 
 
+_GROUP_MIN = 4  # smaller groups: template bookkeeping beats nothing
+
+
+def _decode_group(vals: list[str]):
+    """Template-vectorized decode of same-structure rows (SURVEY R2/R4's
+    grouped decode, generalized beyond points): parse ONE template row while
+    logging its coordinate-block spans, require every other row to be
+    byte-identical OUTSIDE those spans (one uint8 matrix compare -- this
+    pins endianness, type word, SRID and every count field), then decode all
+    coordinate payloads with one strided view per span.
+
+    Returns (rows_dict_list_or_None, ok_mask) -- rows failing the structural
+    check get None entries and fall back to the scalar parser."""
+    try:
+        tbuf = bytes.fromhex(vals[0])
+        cur = _Cursor(tbuf)
+        cur.spans = []
+        g0 = _parse(cur)
+        if cur.off != len(tbuf):
+            return None, None
+    except Exception:
+        return None, None
+    size = len(tbuf)
+    n = len(vals)
+    try:
+        mat = np.frombuffer(bytes.fromhex("".join(vals)),
+                            dtype=np.uint8).reshape(n, size)
+    except Exception:
+        return None, None
+    coord_mask = np.zeros(size, dtype=bool)
+    for off, npts, dims, _fmt in cur.spans:
+        coord_mask[off : off + npts * dims * 8] = True
+    ok = (mat[:, ~coord_mask] == mat[0, ~coord_mask]).all(axis=1)
+    n_ok = int(ok.sum())
+    if n_ok == 0:
+        return None, None
+    sel = mat[ok]
+    blocks = []
+    for off, npts, dims, fmt in cur.spans:
+        raw = sel[:, off : off + npts * dims * 8]
+        arr = np.ascontiguousarray(raw).view(fmt + "f8").reshape(n_ok, npts, dims)
+        blocks.append(arr if fmt == "<" else arr.astype("<f8"))
+    coords = np.concatenate(blocks, axis=1) if blocks else np.zeros((n_ok, 0, 4))
+    base = g0.as_row()
+    cols = {
+        "xs": list(coords[:, :, 0]),
+        "ys": list(coords[:, :, 1]),
+    }
+    k = 2
+    cols["zs"] = list(coords[:, :, k]) if g0.has_z else None
+    if g0.has_z:
+        k += 1
+    cols["ms"] = list(coords[:, :, k]) if g0.has_m else None
+    return (base, cols), ok
+
+
+def _group_rows(base: dict, cols: dict, ok: np.ndarray) -> list:
+    """Materialize per-row dicts from a group decode (mixed-batch path)."""
+    rows = []
+    j = 0
+    for flag in ok:
+        if not flag:
+            rows.append(None)
+            continue
+        row = dict(base)
+        row["xs"] = cols["xs"][j]
+        row["ys"] = cols["ys"][j]
+        row["zs"] = cols["zs"][j] if cols["zs"] is not None else None
+        row["ms"] = cols["ms"][j] if cols["ms"] is not None else None
+        rows.append(row)
+        j += 1
+    return rows
+
+
 def _decode_series(s: pd.Series) -> pd.DataFrame:
     fast = _decode_series_fast_points(s)
     if fast is not None:
         return fast
-    rows = []
-    for v in s:
-        g = decode_hex(v) if isinstance(v, str) else None
-        rows.append(g.as_row() if g is not None else _EMPTY_ROW)
-    return pd.DataFrame(rows, columns=GEOMETRY_FIELDS)
+    vals = s.to_numpy(dtype=object)
+    n = len(vals)
+    # group rows by (length, header prefix): candidates for template decode
+    groups: dict = {}
+    for i, v in enumerate(vals):
+        if isinstance(v, str) and len(v) >= 18:
+            groups.setdefault((len(v), v[:18]), []).append(i)
+
+    # homogeneous-batch fast path: one group covering every row -> build the
+    # result frame columnar, no per-row dicts at all
+    if len(groups) == 1 and n >= _GROUP_MIN:
+        (key, idxs), = groups.items()
+        if len(idxs) == n:
+            res, ok = _decode_group(list(vals))
+            if res is not None and ok.all():
+                base, cols = res
+                data = {f: [base[f]] * n for f in GEOMETRY_FIELDS
+                        if f not in ("xs", "ys", "zs", "ms")}
+                data["xs"] = cols["xs"]
+                data["ys"] = cols["ys"]
+                data["zs"] = cols["zs"] if cols["zs"] is not None else [None] * n
+                data["ms"] = cols["ms"] if cols["ms"] is not None else [None] * n
+                return pd.DataFrame(data, columns=GEOMETRY_FIELDS)
+
+    out: list = [None] * n
+    for idxs in groups.values():
+        if len(idxs) < _GROUP_MIN:
+            continue
+        res, ok = _decode_group([vals[i] for i in idxs])
+        if res is None:
+            continue
+        for i, row in zip(idxs, _group_rows(res[0], res[1], ok)):
+            if row is not None:
+                out[i] = row
+    for i, v in enumerate(vals):
+        if out[i] is None:
+            g = decode_hex(v) if isinstance(v, str) else None
+            out[i] = g.as_row() if g is not None else _EMPTY_ROW
+    return pd.DataFrame(out, columns=GEOMETRY_FIELDS)
 
 
 @pandas_udf(GEOMETRY)

@@ -140,11 +140,32 @@ class SpatialJoinPlan:
 
     The polygon (dim) side is static across probe batches in every real
     pipeline, so its expensive parts -- cover-cells explode, persist, sizing
-    count, strategy choice -- happen exactly once here; each ``join`` call
-    then contributes only distributed probe-side work. (Before this split the
-    build preparation re-ran per call and showed up as ~seconds of *serial*
-    time per job in the N-vs-4N scaling measurements.)
+    count + byte estimate, strategy choice -- happen exactly once here; each
+    ``join`` call then contributes only distributed probe-side work.
+
+    Physical shape (round-2 revision per the 100TB audit):
+
+    * the candidate join broadcasts/shuffles ONLY (cell, region_id, bbox) --
+      the geometry column never rides the exploded cover-cells side, so the
+      broadcast payload is ~56 bytes/row regardless of polygon complexity;
+      geometry re-attaches in the refine step via a second broadcast keyed
+      by region_id (one copy per region, not per covering cell);
+    * broadcast decision is BYTE-based: estimated candidate-side bytes +
+      geometry-side bytes vs ``broadcast_max_bytes`` (row cap kept as a
+      secondary guard and for tests that force the shuffle path);
+    * when the geometry side itself exceeds the byte budget, the refine
+      falls back to a shuffle join on region_id (region-count sized -- far
+      smaller than the candidate join);
+    * salting is SELECTIVE: only cells detected hot in a probe sample are
+      salted/replicated (detect_hot_cells), so build-side replication pays
+      s x only on the keys that need it, not the whole build side.
     """
+
+    # conservative serialized-bytes estimates (cell+id+bbox struct row;
+    # per-coordinate-pair bytes in the geometry struct; per-row overhead)
+    _CELL_ROW_BYTES = 56
+    _COORD_BYTES = 16
+    _GEOM_ROW_OVERHEAD = 200
 
     def __init__(
         self,
@@ -154,49 +175,98 @@ class SpatialJoinPlan:
         level: Optional[int] = None,
         broadcast_threshold: int = 2_000_000,
         salt_buckets: int = 0,
+        broadcast_max_bytes: int = 256 << 20,
+        hot_cell_ratio: float = 0.01,
     ):
         if level is None:
             level = pick_level(regions, geom_col)
         self.level = level
         self.region_id_col = region_id_col
         self.salt_buckets = salt_buckets
+        self.hot_cell_ratio = hot_cell_ratio
         self.build = prepare_regions(regions, level, geom_col, region_id_col).persist()
-        self.n_build = self.build.count()
+        # geometry side: ONE row per region (not per covering cell)
+        self.geoms = regions.select(
+            F.col(region_id_col), F.col(geom_col).alias("__geom")).persist()
+        stats = self.build.agg(
+            F.count("*").alias("n"),
+            F.sum(F.size("__geom.xs")).alias("pts")).first()
+        self.n_build = stats["n"]
+        gstats = self.geoms.agg(
+            F.count("*").alias("n"),
+            F.sum(F.size("__geom.xs")).alias("pts")).first()
+        self.n_regions = gstats["n"]
+        self.geom_bytes = int((gstats["pts"] or 0) * self._COORD_BYTES
+                              + self.n_regions * self._GEOM_ROW_OVERHEAD)
+        self.cells_bytes = int(self.n_build * self._CELL_ROW_BYTES)
         self.use_broadcast = (
-            self.n_build <= broadcast_threshold and salt_buckets == 0)
+            self.n_build <= broadcast_threshold
+            and self.cells_bytes + self.geom_bytes <= broadcast_max_bytes
+            and salt_buckets == 0)
+        self.broadcast_geoms = self.geom_bytes <= broadcast_max_bytes
+        self._hot_cache: Optional[list] = None
         from .cells import make_cell_of
 
         self._cell_of = make_cell_of(level)
 
-    def join(self, points: DataFrame, x_col: str = "x", y_col: str = "y",
-             salt_key: Optional[str] = None, how: str = "inner") -> DataFrame:
-        region_id_col = self.region_id_col
-        probe = points.withColumn("cell", self._cell_of(F.col(x_col), F.col(y_col)))
-        build = self.build
-
+    def _candidates(self, probe: DataFrame, x_col: str, y_col: str,
+                    salt_key: Optional[str],
+                    hot_cells: Optional[list] = None) -> DataFrame:
+        """probe x cover-cells candidate join + bbox prefilter (geometry-free)."""
+        cells = self.build.drop("__geom")
         if self.use_broadcast:
-            joined = probe.join(F.broadcast(build), "cell", "inner")
+            joined = probe.join(F.broadcast(cells), "cell", "inner")
         elif self.salt_buckets > 1:
             key = salt_key or x_col
             s = self.salt_buckets
-            probe_s = probe.withColumn(
-                "__salt", F.pmod(F.xxhash64(F.col(key)), F.lit(s)).cast("int"))
-            build_s = build.withColumn(
-                "__salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-            ).withColumn("__salt", F.col("__salt").cast("int"))
-            joined = probe_s.join(build_s, ["cell", "__salt"], "inner").drop("__salt")
+            # hot-cell detection samples the probe (which may sit behind
+            # expensive enrichment UDFs), so detect once per plan and reuse:
+            # the hot set is a property of the workload's key distribution,
+            # stable across same-source probe batches. Callers joining
+            # differently-distributed probes pass hot_cells explicitly.
+            if hot_cells is None:
+                if self._hot_cache is None:
+                    self._hot_cache = detect_hot_cells(probe, self.hot_cell_ratio)
+                hot = self._hot_cache
+            else:
+                hot = hot_cells
+            if hot:
+                is_hot = F.col("cell").isin(hot)
+                probe_s = probe.withColumn(
+                    "__salt",
+                    F.when(is_hot, F.pmod(F.xxhash64(F.col(key)), F.lit(s)))
+                    .otherwise(F.lit(0)).cast("int"))
+                build_s = cells.withColumn(
+                    "__salt",
+                    F.explode(F.when(is_hot, F.sequence(F.lit(0), F.lit(s - 1)))
+                              .otherwise(F.array(F.lit(0))))
+                ).withColumn("__salt", F.col("__salt").cast("int"))
+                joined = probe_s.join(build_s, ["cell", "__salt"], "inner") \
+                                .drop("__salt")
+            else:
+                joined = probe.join(cells, "cell", "inner")
         else:
-            joined = probe.join(build, "cell", "inner")
-
-        # bbox prefilter (codegen) then exact refine (one Arrow pass)
-        pre = joined.where(
+            joined = probe.join(cells, "cell", "inner")
+        return joined.where(
             (F.col(x_col) >= F.col("bbox_minx")) & (F.col(x_col) <= F.col("bbox_maxx"))
             & (F.col(y_col) >= F.col("bbox_miny")) & (F.col(y_col) <= F.col("bbox_maxy"))
-        )
-        refined = pre.where(
+        ).drop("bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy")
+
+    def join(self, points: DataFrame, x_col: str = "x", y_col: str = "y",
+             salt_key: Optional[str] = None, how: str = "inner",
+             hot_cells: Optional[list] = None) -> DataFrame:
+        """``hot_cells``: pre-computed hot-cell ids for the salted path
+        (None = auto-detect from a probe sample per call; pass a cached list
+        when joining many batches of similarly-distributed probes)."""
+        region_id_col = self.region_id_col
+        probe = points.withColumn("cell", self._cell_of(F.col(x_col), F.col(y_col)))
+        pre = self._candidates(probe, x_col, y_col, salt_key, hot_cells)
+        # re-attach geometry (one row per region) for the exact refine
+        geoms = F.broadcast(self.geoms) if self.broadcast_geoms else self.geoms
+        refined = pre.join(geoms, region_id_col, "inner").where(
             st_contains_point(F.col(region_id_col), F.col("__geom"),
                               F.col(x_col), F.col(y_col))
-        ).drop("__geom", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy")
+        ).drop("__geom")
 
         if how == "inner":
             return refined
@@ -208,6 +278,7 @@ class SpatialJoinPlan:
 
     def unpersist(self):
         self.build.unpersist()
+        self.geoms.unpersist()
 
 
 def spatial_join(

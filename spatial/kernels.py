@@ -305,9 +305,11 @@ def ring_area_signed(xs: np.ndarray, ys: np.ndarray) -> float:
 
 
 def geom_area(xs, ys, ring_offsets) -> float:
-    """Planar area: |sum of signed ring areas| -- with conventionally wound
-    rings (shell CCW, holes CW) hole areas subtract; same-wound holes also
-    subtract via the abs of the algebraic sum for simple cases."""
+    """Planar area: |sum of signed ring areas|. Requires conventional
+    winding (shell CCW, holes CW -- or uniformly mirrored): oppositely-wound
+    holes subtract. A hole wound the SAME direction as its shell has a
+    same-sign signed area and would ADD, not subtract -- callers needing
+    winding-agnostic semantics must normalize rings first."""
     off = np.asarray(ring_offsets)
     total = 0.0
     for a, b in zip(off[:-1], off[1:]):
@@ -361,38 +363,128 @@ def geom_centroid(xs, ys, ring_offsets, gtype: int) -> tuple:
     return float(np.mean(x)), float(np.mean(y))
 
 
-def _measure_udf(fn, needs_gtype: bool = False):
+class _FlatBatch:
+    """One Arrow batch of geometries flattened to whole-batch arrays.
+
+    flat_x/flat_y concatenate every non-null row's coordinates; pair-wise
+    quantities (shoelace cross products, segment lengths) are computed over
+    the WHOLE batch in single NumPy expressions, with the pairs that cross a
+    ring boundary masked out, then reduced per row with np.add.reduceat.
+    This is the "no per-row Python" shape the north star mandates: the only
+    per-row work left is assembling the offset arrays (cheap int ops), not
+    the floating-point math."""
+
+    __slots__ = ("n", "valid", "flat_x", "flat_y", "row_starts", "row_lens",
+                 "pair_valid", "ring_last_pair")
+
+    def __init__(self, geom: pd.DataFrame):
+        xs_np = geom["xs"].to_numpy(dtype=object)
+        ys_np = geom["ys"].to_numpy(dtype=object)
+        ro_np = geom["ring_offsets"].to_numpy(dtype=object)
+        n = len(geom)
+        self.n = n
+        self.valid = np.asarray([x is not None for x in xs_np], dtype=bool)
+        idx = np.nonzero(self.valid)[0]
+        xs = [np.asarray(xs_np[i], dtype=np.float64) for i in idx]
+        ys = [np.asarray(ys_np[i], dtype=np.float64) for i in idx]
+        ros = [np.asarray(ro_np[i], dtype=np.int64) for i in idx]
+        if not xs:
+            self.flat_x = np.zeros(0)
+            self.flat_y = np.zeros(0)
+            self.row_starts = np.zeros(1, dtype=np.int64)
+            self.row_lens = np.zeros(0, dtype=np.int64)
+            self.pair_valid = np.zeros(0, dtype=bool)
+            self.ring_last_pair = np.zeros(0, dtype=np.int64)
+            return
+        self.row_lens = np.asarray([len(x) for x in xs], dtype=np.int64)
+        self.row_starts = np.concatenate(
+            [[0], np.cumsum(self.row_lens)]).astype(np.int64)
+        self.flat_x = np.concatenate(xs) if xs else np.zeros(0)
+        self.flat_y = np.concatenate(ys) if ys else np.zeros(0)
+        # global ring end positions (every ring boundary, incl. row joints)
+        ring_ends = np.concatenate(
+            [s + ro[1:] for s, ro in zip(self.row_starts[:-1], ros)]
+        ) if ros else np.zeros(0, dtype=np.int64)
+        n_pairs = max(len(self.flat_x) - 1, 0)
+        pv = np.ones(n_pairs, dtype=bool)
+        last = ring_ends - 1
+        last = last[(last >= 0) & (last < n_pairs)]
+        pv[last] = False  # pairs spanning a ring/row boundary are not edges
+        self.pair_valid = pv
+        self.ring_last_pair = last
+
+    def reduce_pairs(self, contrib: np.ndarray) -> np.ndarray:
+        """Sum a per-pair contribution per row (invalid pairs zeroed),
+        returning one value per non-null row."""
+        c = np.where(self.pair_valid, contrib, 0.0)
+        c = np.append(c, 0.0)  # sentinel: row_starts[-1] stays in bounds
+        starts = self.row_starts[:-1]
+        if len(starts) == 0:
+            return np.zeros(0)
+        out = np.add.reduceat(c, starts)
+        out[self.row_lens <= 1] = 0.0  # 1-point rows own no pair
+        return out
+
+    def reduce_points(self, vals: np.ndarray) -> np.ndarray:
+        """Sum a per-point value per row, one value per non-null row."""
+        starts = self.row_starts[:-1]
+        if len(starts) == 0:
+            return np.zeros(0)
+        v = np.append(vals, 0.0)
+        out = np.add.reduceat(v, starts)
+        out[self.row_lens == 0] = 0.0
+        return out
+
+    def scatter(self, vals: np.ndarray) -> pd.Series:
+        full = np.full(self.n, np.nan)
+        full[self.valid] = vals
+        s = pd.Series(full, dtype="float64")
+        s[~self.valid] = None
+        return s
+
+
+def _pair_cross(fb: _FlatBatch) -> np.ndarray:
+    x, y = fb.flat_x, fb.flat_y
+    if len(x) < 2:
+        return np.zeros(0)
+    return x[:-1] * y[1:] - x[1:] * y[:-1]
+
+
+def st_area_udf():
+    """pandas_udf: GEOMETRY -> planar area (double). Whole-batch shoelace:
+    one cross-product expression + one reduceat per Arrow batch."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
     @pandas_udf(DoubleType())
-    def measure(geom: pd.DataFrame) -> pd.Series:
-        out = []
-        for row in geom.to_dict("records"):
-            if row.get("xs") is None:
-                out.append(None)
-            elif needs_gtype:
-                out.append(fn(row["xs"], row["ys"], row["ring_offsets"],
-                              row["gtype"]))
-            else:
-                out.append(fn(row["xs"], row["ys"], row["ring_offsets"]))
-        return pd.Series(out, dtype="float64")
+    def st_area(geom: pd.DataFrame) -> pd.Series:
+        fb = _FlatBatch(geom)
+        return fb.scatter(np.abs(fb.reduce_pairs(_pair_cross(fb)) / 2.0))
 
-    return measure
-
-
-def st_area_udf():
-    """pandas_udf: GEOMETRY -> planar area (double)."""
-    return _measure_udf(geom_area)
+    return st_area
 
 
 def st_length_udf():
-    """pandas_udf: GEOMETRY -> planar length (double)."""
-    return _measure_udf(geom_length)
+    """pandas_udf: GEOMETRY -> planar length (double). Whole-batch segment
+    lengths + per-row reduceat."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def st_length(geom: pd.DataFrame) -> pd.Series:
+        fb = _FlatBatch(geom)
+        x, y = fb.flat_x, fb.flat_y
+        seg = (np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+               if len(x) >= 2 else np.zeros(0))
+        return fb.scatter(fb.reduce_pairs(seg))
+
+    return st_length
 
 
 def st_centroid_udf():
-    """pandas_udf: GEOMETRY -> struct(cx, cy)."""
+    """pandas_udf: GEOMETRY -> struct(cx, cy). Whole-batch signed moments
+    for polygons, length-weighted midpoints for lines, coordinate mean
+    fallback -- branch by gtype via masks, not per-row dispatch."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -401,15 +493,41 @@ def st_centroid_udf():
 
     @pandas_udf(schema)
     def st_centroid(geom: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for row in geom.to_dict("records"):
-            if row.get("xs") is None:
-                rows.append({"cx": None, "cy": None})
-            else:
-                cx, cy = geom_centroid(row["xs"], row["ys"],
-                                       row["ring_offsets"], row["gtype"])
-                rows.append({"cx": cx, "cy": cy})
-        return pd.DataFrame(rows, columns=["cx", "cy"])
+        fb = _FlatBatch(geom)
+        gtype = np.asarray(
+            [0 if g is None else int(g) for g in geom["gtype"]])[fb.valid]
+        x, y = fb.flat_x, fb.flat_y
+        cross = _pair_cross(fb)
+        if len(x) >= 2:
+            mid_xc = (x[:-1] + x[1:]) * cross
+            mid_yc = (y[:-1] + y[1:]) * cross
+            seg = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+            seg_mx = (x[:-1] + x[1:]) / 2.0 * seg
+            seg_my = (y[:-1] + y[1:]) / 2.0 * seg
+        else:
+            mid_xc = mid_yc = seg = seg_mx = seg_my = np.zeros(0)
+        A = fb.reduce_pairs(cross) / 2.0
+        mx = fb.reduce_pairs(mid_xc) / 6.0
+        my = fb.reduce_pairs(mid_yc) / 6.0
+        L = fb.reduce_pairs(seg)
+        lx = fb.reduce_pairs(seg_mx)
+        ly = fb.reduce_pairs(seg_my)
+        # coordinate means (degenerate fallback + point kinds)
+        sum_x = fb.reduce_points(x)
+        sum_y = fb.reduce_points(y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_x = sum_x / fb.row_lens
+            mean_y = sum_y / fb.row_lens
+            cx = mean_x.copy()
+            cy = mean_y.copy()
+            poly = np.isin(gtype, (3, 6)) & (A != 0.0)
+            cx[poly] = (mx / A)[poly]
+            cy[poly] = (my / A)[poly]
+            line = np.isin(gtype, (2, 5)) & (L != 0.0)
+            cx[line] = (lx / L)[line]
+            cy[line] = (ly / L)[line]
+        out = pd.DataFrame({"cx": fb.scatter(cx), "cy": fb.scatter(cy)})
+        return out
 
     return st_centroid
 
@@ -525,16 +643,39 @@ def st_distance_udf():
 
     @pandas_udf(DoubleType())
     def st_distance(px: pd.Series, py: pd.Series, geom: pd.DataFrame) -> pd.Series:
-        out = []
-        recs = geom.to_dict("records")
-        for x, y, row in zip(px, py, recs):
-            if row.get("xs") is None:
-                out.append(None)
-            else:
-                out.append(point_geom_distance(
-                    float(x), float(y), row["xs"], row["ys"],
-                    row["ring_offsets"]))
-        return pd.Series(out, dtype="float64")
+        fb = _FlatBatch(geom)
+        pxv = px.to_numpy(np.float64)[fb.valid]
+        pyv = py.to_numpy(np.float64)[fb.valid]
+        x, y = fb.flat_x, fb.flat_y
+        nrows = len(fb.row_lens)
+        if nrows == 0:
+            return fb.scatter(np.zeros(0))
+        point_row = np.repeat(np.arange(nrows), fb.row_lens)
+        starts = fb.row_starts[:-1]
+        # vertex distances (fallback + single-point rows)
+        vd = np.hypot(pxv[point_row] - x, pyv[point_row] - y)
+        vmin = np.minimum.reduceat(np.append(vd, np.inf), starts)
+        vmin[fb.row_lens == 0] = np.nan
+        # segment distances over every in-row pair
+        if len(x) >= 2:
+            ax, ay, bx, by = x[:-1], y[:-1], x[1:], y[1:]
+            pair_row = point_row[:-1]
+            qx, qy = pxv[pair_row], pyv[pair_row]
+            dx, dy = bx - ax, by - ay
+            L2 = dx * dx + dy * dy
+            t = np.where(L2 > 0,
+                         ((qx - ax) * dx + (qy - ay) * dy)
+                         / np.where(L2 > 0, L2, 1.0), 0.0)
+            t = np.clip(t, 0.0, 1.0)
+            sd = np.hypot(qx - (ax + t * dx), qy - (ay + t * dy))
+            sd = np.where(fb.pair_valid, sd, np.inf)
+            smin = np.minimum.reduceat(np.append(sd, np.inf), starts)
+        else:
+            smin = np.full(nrows, np.inf)
+        n_valid_pairs = fb.reduce_pairs(
+            np.ones(max(len(x) - 1, 0), dtype=np.float64))
+        out = np.where(n_valid_pairs > 0, smin, vmin)
+        return fb.scatter(out)
 
     return st_distance
 
@@ -592,8 +733,14 @@ def clip_ring_bbox(xs, ys, minx: float, miny: float,
 
 
 def st_clip_bbox_udf(minx: float, miny: float, maxx: float, maxy: float):
-    """pandas_udf: GEOMETRY -> GEOMETRY clipped to the rectangle (polygons:
-    per-ring Sutherland-Hodgman; empty result -> null geometry)."""
+    """pandas_udf: GEOMETRY -> GEOMETRY clipped to the rectangle.
+
+    POLYGON-ONLY CONTRACT (gtype 3 Polygon / 6 MultiPolygon): Sutherland-
+    Hodgman produces closed rings, so open linestrings would be silently
+    closed -- any other gtype yields a null geometry instead. MultiPolygons
+    are clipped per part with part_offsets rebuilt from the surviving ring
+    groups (a surviving second shell stays its own part, never re-read as a
+    hole of the first). Empty result -> null geometry."""
     from pyspark.sql.functions import pandas_udf
 
     from .geometry import GEOMETRY, GEOMETRY_FIELDS
@@ -602,21 +749,29 @@ def st_clip_bbox_udf(minx: float, miny: float, maxx: float, maxy: float):
     def st_clip_bbox(geom: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for row in geom.to_dict("records"):
-            if row.get("xs") is None:
+            if row.get("xs") is None or row.get("gtype") not in (3, 6):
                 rows.append({f: None for f in GEOMETRY_FIELDS})
                 continue
             xs = np.asarray(row["xs"], dtype=np.float64)
             ys = np.asarray(row["ys"], dtype=np.float64)
-            off = np.asarray(row["ring_offsets"])
+            roff = [int(v) for v in row["ring_offsets"]]
+            poff = [int(v) for v in row["part_offsets"]]
             nx: list = []
             ny: list = []
             noff = [0]
-            for a, b in zip(off[:-1], off[1:]):
-                cx_, cy_ = clip_ring_bbox(xs[a:b], ys[a:b],
-                                          minx, miny, maxx, maxy)
-                if cx_:
-                    nx.extend(cx_); ny.extend(cy_)
-                    noff.append(len(nx))
+            npoff = [0]
+            for pa, pb in zip(poff[:-1], poff[1:]):  # ring-index ranges
+                part_rings = 0
+                for r in range(pa, pb):
+                    a, b = roff[r], roff[r + 1]
+                    cx_, cy_ = clip_ring_bbox(xs[a:b], ys[a:b],
+                                              minx, miny, maxx, maxy)
+                    if cx_:
+                        nx.extend(cx_); ny.extend(cy_)
+                        noff.append(len(nx))
+                        part_rings += 1
+                if part_rings:
+                    npoff.append(npoff[-1] + part_rings)
             if len(noff) == 1:
                 rows.append({f: None for f in GEOMETRY_FIELDS})
                 continue
@@ -624,7 +779,7 @@ def st_clip_bbox_udf(minx: float, miny: float, maxx: float, maxy: float):
             out["xs"], out["ys"] = nx, ny
             out["zs"], out["ms"] = None, None
             out["ring_offsets"] = noff
-            out["part_offsets"] = [0, len(noff) - 1]
+            out["part_offsets"] = npoff
             rows.append(out)
         return pd.DataFrame(rows, columns=GEOMETRY_FIELDS)
 

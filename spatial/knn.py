@@ -154,6 +154,129 @@ def knn_join(
         flat, "query_id long, id long, rank int, dist_m double")
 
 
+class KnnIndex:
+    """Persisted cell-indexed point set for repeated kNN calls.
+
+    ``knn_join`` re-indexed and re-persisted the points on every call
+    (~0.5s fixed cost per invocation); building the index once and reusing
+    it across query batches removes that. ``join_distributed`` additionally
+    keeps the QUERY side distributed: round control needs only one scalar
+    count per round (no per-query collect), so the query set can be
+    arbitrarily large -- the shape ``knn_join``'s driver loop cannot handle.
+    """
+
+    def __init__(self, points: DataFrame, level: int = 8,
+                 point_x: str = "x", point_y: str = "y", point_id: str = "id"):
+        self.level = level
+        self.pts = _index_points(points, point_x, point_y, point_id, level).persist()
+        self.pts.count()
+
+    def unpersist(self):
+        self.pts.unpersist()
+
+    def join_distributed(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_x: str = "qx",
+        query_y: str = "qy",
+        query_id: str = "query_id",
+        max_rounds: int = 3,
+        init_r: int = 2,
+    ) -> DataFrame:
+        """Top-k nearest points per query, query side fully distributed.
+
+        Per round: unresolved queries explode to their radius-r cell disk
+        (vectorized pandas_udf), broadcast-join against the indexed points,
+        window top-k, then a per-query resolution FLAG join (count >= k and
+        kth distance inside the guarantee radius) decides which queries'
+        results are final. Only ``unresolved.count()`` crosses to the
+        driver. Queries still open after the radius budget fall back to one
+        exact broadcast brute-force pass (correctness never sacrificed);
+        that fallback assumes the residue is broadcast-sized -- at scale
+        only queries in empty deserts reach it."""
+        from .cells import make_cell_of, make_neighbors_disk
+
+        spark = self.pts.sparkSession
+        cell_of = make_cell_of(self.level)
+        cell_span_m = EARTH_RADIUS_M / (1 << self.level)
+        win = Window.partitionBy("query_id").orderBy(
+            F.col("dist_m").asc(), F.col("id").asc())
+
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_x).alias("qx"),
+            F.col(query_y).alias("qy"),
+        ).withColumn("qcell", cell_of(F.col("qx"), F.col("qy"))).persist()
+
+        unresolved = q
+        resolved_parts = []
+        r = max(2, init_r)
+        for _ in range(max_rounds):
+            disk = make_neighbors_disk(r)
+            exploded = unresolved.select(
+                "query_id", "qx", "qy",
+                F.explode(disk(F.col("qcell"))).alias("cell"))
+            # no broadcast hint: a large query side must shuffle on cell
+            # (AQE broadcasts small exploded sides on its own)
+            topk = (
+                self.pts.join(exploded, "cell", "inner")
+                .withColumn("dist_m", haversine_col(F.col("px"), F.col("py"),
+                                                    F.col("qx"), F.col("qy")))
+                .withColumn("rank", F.row_number().over(win))
+                .where(F.col("rank") <= k)
+                .select("query_id", "id", "rank", "dist_m")
+            )
+            guaranteed_m = (r - 1) * cell_span_m * SAFETY
+            flags = (
+                topk.groupBy("query_id")
+                .agg(F.count("*").alias("n"), F.max("dist_m").alias("kth"))
+                .withColumn("done", (F.col("n") >= k)
+                            & (F.col("kth") <= F.lit(guaranteed_m)))
+                .select("query_id", "done")
+            )
+            done_rows = topk.join(
+                flags.where("done").select("query_id"), "query_id", "left_semi"
+            ).persist()
+            done_rows.count()
+            resolved_parts.append(done_rows)
+            unresolved = unresolved.join(
+                flags.where("done").select("query_id"), "query_id", "left_anti"
+            ).persist()
+            if unresolved.count() == 0:
+                break
+            r *= 2
+        else:
+            brute = (
+                self.pts.crossJoin(F.broadcast(
+                    unresolved.select("query_id", "qx", "qy")))
+                .withColumn("dist_m", haversine_col(F.col("px"), F.col("py"),
+                                                    F.col("qx"), F.col("qy")))
+                .withColumn("rank", F.row_number().over(win))
+                .where(F.col("rank") <= k)
+                .select("query_id", "id", "rank", "dist_m")
+            )
+            resolved_parts.append(brute)
+        q.unpersist()
+        out = resolved_parts[0]
+        for part in resolved_parts[1:]:
+            out = out.union(part)
+        return out
+
+
+def knn_join_distributed(points: DataFrame, queries: DataFrame, k: int,
+                         level: int = 8, **cols) -> DataFrame:
+    """One-shot wrapper over KnnIndex.join_distributed."""
+    idx = KnnIndex(points, level,
+                   cols.get("point_x", "x"), cols.get("point_y", "y"),
+                   cols.get("point_id", "id"))
+    return idx.join_distributed(
+        queries, k,
+        cols.get("query_x", "qx"), cols.get("query_y", "qy"),
+        cols.get("query_id", "query_id"),
+        cols.get("max_rounds", 3), cols.get("init_r", 2))
+
+
 def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int, **cols) -> DataFrame:
     """Exact reference implementation (test oracle; also the right plan when
     the query side is trivially small)."""

@@ -308,3 +308,40 @@ def test_clip_ring_bbox():
         if xs:
             a = geom_area(xs, ys, [0, len(xs)])
             assert a <= area0 + 1e-9 and a <= 16.0 + 1e-9
+
+
+def test_clip_bbox_multipolygon_parts_and_polygon_only(spark):
+    """MultiPolygon clips per part (surviving second shell stays its own
+    part); non-polygon gtypes yield null (polygon-only contract)."""
+    from pyspark.sql import functions as F
+
+    from spatial.geometry import GEOMETRY
+    from spatial.kernels import st_clip_bbox_udf
+
+    # two unit squares at x in [0,1] and [3,4]; window keeps both
+    mp = {
+        "gtype": 6, "srid": None, "has_z": False, "has_m": False,
+        "xs": [0.0, 1.0, 1.0, 0.0, 0.0, 3.0, 4.0, 4.0, 3.0, 3.0],
+        "ys": [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0],
+        "zs": None, "ms": None,
+        "ring_offsets": [0, 5, 10], "part_offsets": [0, 1, 2],
+    }
+    ls = {
+        "gtype": 2, "srid": None, "has_z": False, "has_m": False,
+        "xs": [0.0, 1.0, 2.0], "ys": [0.0, 0.0, 1.0],
+        "zs": None, "ms": None,
+        "ring_offsets": [0, 3], "part_offsets": [0, 1],
+    }
+    df = spark.createDataFrame(
+        [(1, mp), (2, ls)], f"id long, geom {GEOMETRY.simpleString()}")
+    out = {r["id"]: r["c"] for r in df.select(
+        "id", st_clip_bbox_udf(-10.0, -10.0, 10.0, 10.0)(F.col("geom")).alias("c")
+    ).collect()}
+    assert out[1]["part_offsets"] == [0, 1, 2]          # parts preserved
+    assert out[1]["ring_offsets"] == [0, 5, 10]
+    assert out[2]["gtype"] is None                      # linestring -> null
+    # window clipping away the second part drops that part entirely
+    out1 = df.where("id = 1").select(
+        st_clip_bbox_udf(-10.0, -10.0, 2.0, 10.0)(F.col("geom")).alias("c")
+    ).first()["c"]
+    assert out1["part_offsets"] == [0, 1]

@@ -56,3 +56,33 @@ def test_knn_k1_and_large_k(spark, data):
     got = _as_map(knn_join(points, queries.limit(3), k=1, level=8))
     want = _as_map(knn_bruteforce(points, queries.limit(3), k=1))
     assert got == want
+
+
+def test_knn_distributed_matches_bruteforce_large_queries(spark):
+    """DataFrame-native round control: 10k-query set (far beyond the driver
+    loop's collect contract) matches exact brute-force kNN."""
+    from spatial.knn import KnnIndex
+
+    rng = np.random.default_rng(11)
+    npts, nq, k = 10_000, 10_000, 3
+    px = np.concatenate([rng.normal(-118.2, 1.0, npts // 2),
+                         rng.uniform(-170, 170, npts - npts // 2)])
+    py = np.concatenate([rng.normal(34.0, 1.0, npts // 2),
+                         rng.uniform(-80, 80, npts - npts // 2)])
+    points = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(npts), "x": px, "y": py}))
+    qx = np.concatenate([rng.normal(-118.2, 1.0, nq // 2),
+                         rng.uniform(-170, 170, nq - nq // 2)])
+    qy = np.concatenate([rng.normal(34.0, 1.0, nq // 2),
+                         rng.uniform(-80, 80, nq - nq // 2)])
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(nq), "qx": qx, "qy": qy}))
+
+    idx = KnnIndex(points, level=6)
+    got = _as_map(idx.join_distributed(queries, k=k))
+    idx.unpersist()
+    want = _as_map(knn_bruteforce(points, queries, k=k))
+    assert set(got) == set(want)
+    bad = [q for q in want
+           if [t[1] for t in got[q]] != [t[1] for t in want[q]]]
+    assert not bad, (len(bad), bad[:3])
