@@ -7,7 +7,9 @@ serialization library (ewestern/haskell-postgis, read-only at
 vectorized Arrow kernels, and which layers on top: S2-style cell indexing,
 ray-casting point-in-polygon, grid-pruned kNN, Web-Mercator tiling, a
 skew-aware spatial join, a geocoding pages pipeline with checkpoint/resume,
-and large-scale training-data ops (dedup, similarity search, text analysis).
+large-scale training-data ops (dedup, similarity search, text analysis,
+multimodal binary columns with real BMP/PPM decode), and the PostGIS-over-
+JDBC field boundary (spatial.pg) that is the reference's raison d'etre.
 """
 
 from .geometry import (  # noqa: F401

@@ -43,6 +43,13 @@ def _submit(out_dir: str) -> dict:
 
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
 def test_submit_and_resume(tmp_path):
+    # one-Spark-session rule (CLAUDE.md): conftest fronts this test so no
+    # in-process session exists yet; skip rather than violate the rule if
+    # something started one anyway (e.g. running with -p no:cacheprovider
+    # orderings or a stray notebook session).
+    from pyspark.sql import SparkSession
+    if SparkSession.getActiveSession() is not None:
+        pytest.skip("in-process Spark session active; run this module standalone")
     out = str(tmp_path / "out")
     first = _submit(out)
     assert first["ran_batches"] == [0, 1]
