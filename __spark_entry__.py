@@ -831,6 +831,101 @@ def q_quality_scores(spark, sf_dir):
         F.round(quality_score(F.col("text")), 6).alias("quality"))
 
 
+def q_stream_window_counts(spark, sf_dir):
+    """STREAMING oracle query: Structured Streaming (availableNow file
+    source -> tumbling 1h event-time windows -> complete-mode memory sink)
+    over the events table; the driver then compares the materialized result
+    against plain batch SQL -- the streaming engine must agree with the
+    batch semantics on a finite input, which is exactly Spark's unified-
+    semantics contract. First driver-oracle coverage for the streaming
+    category (round-1 gap)."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from spatial.streaming import run_available_now
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream source wants a DIRECTORY: stream the sf dir with a
+    # glob filter selecting the events file
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "1 hour").alias("w"),
+                       F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events")
+    )
+    name = "q_stream_" + uuid.uuid4().hex[:10]
+    run_available_now(agg, tempfile.mkdtemp(prefix="q_stream_ckpt_"),
+                      name, output_mode="complete")
+    return spark.table(name)
+
+
+def q_ann_ivf_pruned(spark, sf_dir):
+    """IVF ANN in the SUB-LINEAR regime (nprobe=1 of 8 clusters) on a
+    planted-cluster construction where exactness is provable: 512 vectors in
+    8 one-hot-dominated clusters (separation 10.0 vs jitter <= 0.06), query
+    aligned with cluster 0 -- every global top-10 lives in cluster 0, the
+    trained centroid nearest the query is cluster 0's, so probing that one
+    cluster returns the exact global top-10. All vectors are closed-form in
+    vec_id (integer mod arithmetic), so DuckDB re-derives them and the
+    brute-force oracle is exact. sf-independent by design."""
+    from spatial.datapipe.similarity import (assign_clusters, ivf_topk,
+                                             train_centroids)
+
+    dim, n_clusters = 8, 8
+    i = F.col("id")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.when(j == i % n_clusters, F.lit(10.0)).otherwise(0.0)
+                   + ((i * (j + 3)) % 7).cast("double") / 100.0))
+    emb = spark.range(512).select(F.col("id").alias("vec_id"),
+                                  vec.alias("embedding"))
+    Q = np.zeros((1, dim))
+    Q[0, 0] = 10.0
+    C = train_centroids(emb, n_clusters=n_clusters, seed=42)
+    clustered = assign_clusters(emb, C)
+    res = ivf_topk(clustered, C, Q, k=10, nprobe=1)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        res.select("query_id", "vec_id",
+                   (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets surface): decimal-exact revenue by
+    (o_orderstatus, o_orderpriority) with subtotals and grand total."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+             .alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+def q_moving_avg(spark, sf_dir):
+    """Sliding-frame window function (ROWS BETWEEN 3 PRECEDING AND CURRENT):
+    per-user moving average of `value`. The frame SUM runs in DECIMAL (exact
+    and order-free, immune to sliding-aggregate algebra differences between
+    engines); the average divides two exact values and rounds at 6."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, 0))
+    s = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    c = F.count("*").over(w)
+    return ev.select("user_id", "event_id",
+                     F.round(s / c, 6).alias("mavg"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -888,6 +983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q_st_envelope": q_st_envelope,
         "q_quality_scores": q_quality_scores,
+        "q_stream_window_counts": q_stream_window_counts,
+        "q_ann_ivf_pruned": q_ann_ivf_pruned,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_moving_avg": q_moving_avg,
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_knn_grid": q_knn_grid,
         "q_spatial_join_pages": q_spatial_join_pages,
@@ -1237,6 +1336,46 @@ def oracle_sql() -> dict[str, str]:
         "q_s2_cell_rollup": f"""
             SELECT cell, COUNT(*) AS n_points
             FROM ({cell_of_oracle_sql(LON_SQL, LAT_SQL, 10)}) GROUP BY cell
+        """,
+        "q_stream_window_counts": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+                     AS window_end,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "q_ann_ivf_pruned": f"""
+            WITH vecs AS (
+              SELECT CAST(i AS BIGINT) AS vec_id,
+                     list_transform(generate_series(0, 7), j ->
+                       (CASE WHEN j = i % 8 THEN 10.0 ELSE 0.0 END)
+                       + CAST((i * (j + 3)) % 7 AS DOUBLE) / 100.0) AS v
+              FROM (SELECT unnest(generate_series(0, 511)) AS i)
+            ), scored AS (
+              SELECT vec_id,
+                     ROUND(list_dot_product(v, [10.0e0,0e0,0e0,0e0,0e0,0e0,0e0,0e0])
+                           / (SQRT(list_dot_product(v, v)) * 10.0), 6) + 0.0
+                       AS cosine
+              FROM vecs)
+            SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank,
+                   cosine
+            FROM scored QUALIFY rank <= 10
+        """,
+        "q_rollup_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_moving_avg": """
+            SELECT user_id, event_id,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                         / COUNT(*) OVER w, 6) AS mavg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "q_minhash_pairs": _minhash_oracle(),
         "q_simhash_pairs": _simhash_oracle(),
