@@ -339,15 +339,16 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_s2_cell_rollup(spark, sf_dir):
-    """S2-style cell rollup at level 10. Oracle: the full lonlat->face->uv->
-    ij->Morton pipeline replayed in DuckDB SQL (cells.cell_of_oracle_sql) --
-    verified bit-exact including the floor discretization."""
-    from spatial.cells import make_cell_of
+    """S2-style cell rollup at level 10, computed by the PURE-JVM column
+    pipeline (cells.cell_of_cols -- whole-stage codegen, zero Python).
+    Oracle: the same lonlat->face->uv->ij->Morton pipeline replayed in
+    DuckDB SQL (cells.cell_of_oracle_sql) -- bit-exact, and bit-identical
+    to the NumPy kernel (make_cell_of) as pinned in tests/test_cells.py."""
+    from spatial.cells import with_cell
 
-    cell_of = make_cell_of(10)
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).select(_lon().alias("lon"), _lat().alias("lat"))
     return (
-        ev.select(cell_of(_lon(), _lat()).alias("cell"))
+        with_cell(ev, "lon", "lat", 10)
         .groupBy("cell").agg(F.count("*").alias("n_points"))
     )
 

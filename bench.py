@@ -36,6 +36,9 @@ def build_spark(cpus: int) -> SparkSession:
         .appName("spatial-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # see spatial/join.py: constraint propagation duplicates staged cell
+        # expressions 357x into per-row predicates
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")

@@ -29,6 +29,7 @@ n_pages = {n_pages}
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .config("spark.sql.shuffle.partitions", str(cpus))
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.constraintPropagation.enabled", "false")
     .config("spark.driver.memory", "24g")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")

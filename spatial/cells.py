@@ -385,6 +385,121 @@ FROM __ij"""
 
 
 # ---------------------------------------------------------------------------
+# Spark column layer (pure JVM, whole-stage codegen -- no Python crossing)
+# ---------------------------------------------------------------------------
+
+def with_cell(df, lon_col, lat_col, level: int, out_col: str = "cell"):
+    """df -> df + pure-JVM cell-id column, STAGED through intermediate
+    projections (face, u/v, i/j each computed once as a named column; the
+    Morton fold then references cheap attributes). One flat expression
+    (cell_of_cols) duplicates the trig/branch subtree ~20x inside the
+    Morton fold, which costs seconds of driver-side analysis+codegen per
+    query; staged projections stay small because Catalyst's CollapseProject
+    declines to inline expensive multiply-referenced aliases. Runtime is
+    whole-stage codegen with zero Python either way.
+
+    Bit-parity with the NumPy kernel (make_cell_of) verified over the event
+    grid, the geocoded pages corpus and random points at levels 6-16 --
+    zero mismatches in 1.8M points (pinned in tests/test_cells.py)."""
+    from pyspark.sql import functions as F
+
+    lon, lat = F.col(lon_col) if isinstance(lon_col, str) else lon_col, \
+               F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    n = 1 << level
+    lr, br = F.radians(lon), F.radians(lat)
+    cb = F.cos(br)
+    s1 = df.withColumns({
+        "__co_x": cb * F.cos(lr),
+        "__co_y": cb * F.sin(lr),
+        "__co_z": F.sin(br),
+    })
+    x, y, z = F.col("__co_x"), F.col("__co_y"), F.col("__co_z")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face0 = F.when(ax >= ay,
+                   F.when(ax >= az, F.lit(0)).otherwise(F.lit(2))) \
+             .otherwise(F.when(ay >= az, F.lit(1)).otherwise(F.lit(2)))
+    s2 = s1.withColumn("__co_f0", face0)
+    f0 = F.col("__co_f0")
+    comp = F.when(f0 == 0, x).when(f0 == 1, y).otherwise(z)
+    s3 = s2.withColumn("__co_face", F.when(comp < 0, f0 + 3).otherwise(f0))
+    face = F.col("__co_face")
+    u = (F.when(face == 0, y / x).when(face == 1, -x / y)
+         .when(face == 2, -x / z).when(face == 3, z / x)
+         .when(face == 4, z / y).otherwise(-y / z))
+    v = (F.when(face == 0, z / x).when(face == 1, z / y)
+         .when(face == 2, -y / z).when(face == 3, y / x)
+         .when(face == 4, -x / y).otherwise(-x / z))
+    s4 = s3.withColumns({
+        "__co_i": F.least(F.greatest(F.floor((u + 1.0) * 0.5 * n), F.lit(0)),
+                          F.lit(n - 1)).cast("long"),
+        "__co_j": F.least(F.greatest(F.floor((v + 1.0) * 0.5 * n), F.lit(0)),
+                          F.lit(n - 1)).cast("long"),
+    })
+    i, j = F.col("__co_i"), F.col("__co_j")
+    morton = F.lit(0).cast("long")
+    for b in range(level):
+        morton = (morton
+                  .bitwiseOR(F.shiftleft(F.shiftright(i, b).bitwiseAND(F.lit(1)),
+                                         2 * b + 1))
+                  .bitwiseOR(F.shiftleft(F.shiftright(j, b).bitwiseAND(F.lit(1)),
+                                         2 * b)))
+    cell = (F.shiftleft(face.cast("long"), _FACE_SHIFT)
+            .bitwiseOR(F.shiftleft(morton, _FACE_SHIFT - 2 * level))
+            .bitwiseOR(F.lit(level)))
+    return s4.withColumn(out_col, cell).drop(
+        "__co_x", "__co_y", "__co_z", "__co_f0", "__co_face", "__co_i", "__co_j")
+
+
+def cell_of_cols(lon, lat, level: int):
+    """(lon, lat) -> cell id as ONE pure column expression (whole-stage
+    codegen, zero Python). NOTE: the Morton fold duplicates the trig/branch
+    subtree per bit, so analysis/codegen of the flat form costs seconds per
+    query -- prefer ``with_cell`` (staged projections, same bits) anywhere
+    the DataFrame is in hand; this form exists for column-position call
+    sites and parity tests.
+
+    Bit-parity with the NumPy kernel verified empirically over the event
+    grid, the geocoded pages corpus and random points (JVM Math.cos and
+    NumPy's SIMD cos agree to the ulp everywhere tested; a disagreement
+    could only flip a cell when a point sits within ~1 ulp of a cell
+    boundary, which the cover-cells 1-ring pad makes harmless for joins)."""
+    from pyspark.sql import functions as F
+
+    lr, br = F.radians(lon), F.radians(lat)
+    cb = F.cos(br)
+    x = cb * F.cos(lr)
+    y = cb * F.sin(lr)
+    z = F.sin(br)
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face0 = F.when(ax >= ay,
+                   F.when(ax >= az, F.lit(0)).otherwise(F.lit(2))) \
+             .otherwise(F.when(ay >= az, F.lit(1)).otherwise(F.lit(2)))
+    comp = F.when(face0 == 0, x).when(face0 == 1, y).otherwise(z)
+    face = F.when(comp < 0, face0 + 3).otherwise(face0)
+    u = (F.when(face == 0, y / x).when(face == 1, -x / y)
+         .when(face == 2, -x / z).when(face == 3, z / x)
+         .when(face == 4, z / y).otherwise(-y / z))
+    v = (F.when(face == 0, z / x).when(face == 1, z / y)
+         .when(face == 2, -y / z).when(face == 3, y / x)
+         .when(face == 4, -x / y).otherwise(-x / z))
+    n = 1 << level
+    i = F.least(F.greatest(F.floor((u + 1.0) * 0.5 * n), F.lit(0)),
+                F.lit(n - 1)).cast("long")
+    j = F.least(F.greatest(F.floor((v + 1.0) * 0.5 * n), F.lit(0)),
+                F.lit(n - 1)).cast("long")
+    morton = F.lit(0).cast("long")
+    for b in range(level):
+        morton = (morton
+                  .bitwiseOR(F.shiftleft(F.shiftright(i, b).bitwiseAND(F.lit(1)),
+                                         2 * b + 1))
+                  .bitwiseOR(F.shiftleft(F.shiftright(j, b).bitwiseAND(F.lit(1)),
+                                         2 * b)))
+    return (F.shiftleft(face.cast("long"), _FACE_SHIFT)
+            .bitwiseOR(F.shiftleft(morton, _FACE_SHIFT - 2 * level))
+            .bitwiseOR(F.lit(level)))
+
+
+# ---------------------------------------------------------------------------
 # Spark UDF layer
 # ---------------------------------------------------------------------------
 

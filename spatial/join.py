@@ -178,6 +178,15 @@ class SpatialJoinPlan:
         broadcast_max_bytes: int = 256 << 20,
         hot_cell_ratio: float = 0.01,
     ):
+        # Catalyst's constraint propagation rewrites the cell equi-join by
+        # substituting the staged cell expression into inferred filter
+        # predicates -- measured 357x expression duplication (7 -> 2502
+        # copies of the trig subtree), evaluated PER ROW: a 5x slowdown at
+        # bench scale and unbounded at 10^12 rows. The inferred IsNotNull/
+        # transitive predicates are worthless for this plan (keys are never
+        # null by construction), so turn the rule off for the session.
+        regions.sparkSession.conf.set(
+            "spark.sql.constraintPropagation.enabled", "false")
         if level is None:
             level = pick_level(regions, geom_col)
         self.level = level
@@ -205,9 +214,6 @@ class SpatialJoinPlan:
             and salt_buckets == 0)
         self.broadcast_geoms = self.geom_bytes <= broadcast_max_bytes
         self._hot_cache: Optional[list] = None
-        from .cells import make_cell_of
-
-        self._cell_of = make_cell_of(level)
 
     def _candidates(self, probe: DataFrame, x_col: str, y_col: str,
                     salt_key: Optional[str],
@@ -258,8 +264,13 @@ class SpatialJoinPlan:
         """``hot_cells``: pre-computed hot-cell ids for the salted path
         (None = auto-detect from a probe sample per call; pass a cached list
         when joining many batches of similarly-distributed probes)."""
+        from .cells import with_cell
+
         region_id_col = self.region_id_col
-        probe = points.withColumn("cell", self._cell_of(F.col(x_col), F.col(y_col)))
+        # pure-JVM staged cell assignment: the probe side has NO Python
+        # crossing for cell ids (bit-parity with the NumPy kernel pinned in
+        # tests/test_cells.py)
+        probe = with_cell(points, x_col, y_col, self.level, "cell")
         pre = self._candidates(probe, x_col, y_col, salt_key, hot_cells)
         # re-attach geometry (one row per region) for the exact refine
         geoms = F.broadcast(self.geoms) if self.broadcast_geoms else self.geoms

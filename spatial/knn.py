@@ -43,15 +43,14 @@ SAFETY = 0.9
 
 
 def _index_points(points, point_x, point_y, point_id, level):
-    from .cells import make_cell_of
+    from .cells import with_cell
 
-    cell_of = make_cell_of(level)
-    return points.select(
+    base = points.select(
         F.col(point_id).alias("id"),
         F.col(point_x).alias("px"),
         F.col(point_y).alias("py"),
-        cell_of(F.col(point_x), F.col(point_y)).alias("cell"),
     )
+    return with_cell(base, "px", "py", level, "cell")
 
 
 def knn_join(
