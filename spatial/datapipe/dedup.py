@@ -146,8 +146,7 @@ def minhash_candidates(
     return _bucket_pairs(banded, max_bucket)
 
 
-def _bucket_pairs(banded: DataFrame, max_bucket: int,
-                  persist: bool = False) -> DataFrame:
+def _bucket_pairs(banded: DataFrame, max_bucket: int) -> DataFrame:
     """(id, bucket) rows -> distinct ordered candidate pairs (id_a < id_b).
 
     Heavy buckets are dropped BEFORE any collect_list: a cheap count
@@ -157,11 +156,9 @@ def _bucket_pairs(banded: DataFrame, max_bucket: int,
     materializes its full member array in an aggregation buffer (the
     un-spillable single-row OOM the old post-aggregation guard allowed).
 
-    ``persist=True`` caches the (id, bucket) rows, which this plan reads
-    twice -- pass it when producing them is expensive (a Python UDF sketch)
-    rather than a cheap projection of an already-cached signature frame."""
-    if persist:
-        banded = banded.persist()
+    This plan reads ``banded`` twice -- callers whose banded rows are
+    expensive to produce (a Python UDF sketch) persist them and release the
+    cache after materializing the candidate set."""
     counts = banded.groupBy("bucket").agg(F.count("*").alias("n"))
     ok = counts.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("bucket")
     pruned = banded.join(ok, "bucket", "left_semi")
@@ -512,6 +509,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    # materialize the (tiny) pair set eagerly so the signature cache is
+    # released here instead of leaking for the session lifetime (the same
+    # discipline as minhash_dedup_pairs)
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
     return out
 
 
@@ -624,8 +627,12 @@ def embedding_dup_pairs(
     # scan is far cheaper than replicating vectors through bucket explode +
     # self-join.
     sk = df.select(F.col(id_col).alias("id"),
-                   F.explode(sketch(vec_col)).alias("bucket"))
-    cand = _bucket_pairs(sk, max_bucket, persist=True)
+                   F.explode(sketch(vec_col)).alias("bucket")).persist()
+    cand = _bucket_pairs(sk, max_bucket)
+    # eager candidates release the (id, bucket) cache immediately
+    cand = cand.persist()
+    cand.count()
+    sk.unpersist()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
