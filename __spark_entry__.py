@@ -865,6 +865,31 @@ def q_stream_window_counts(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_geo_tiles(spark, sf_dir):
+    """STREAMING geo pipeline oracle: the synthetic pages corpus written to
+    parquet, consumed incrementally (availableNow, 4 files per trigger so
+    MULTIPLE micro-batches genuinely run), geocoded + tile-assigned +
+    rolled up by the streaming operators, materialized complete-mode.
+    Oracle: the geocode SQL replay over the shared fixture + the identical
+    closed-form tile math -- streaming incremental processing must equal
+    the batch semantics."""
+    import tempfile
+    import uuid
+
+    from spatial.streaming import (run_available_now, stream_pages,
+                                   streaming_tile_rollup)
+    from spatial.synth import synth_pages
+
+    pages_dir = tempfile.mkdtemp(prefix="q_stream_pages_")
+    synth_pages(spark, 2000, partitions=8).write.mode("overwrite").parquet(pages_dir)
+    stream = stream_pages(spark, pages_dir, max_files_per_trigger=4)
+    agg = streaming_tile_rollup(stream, zoom=8)
+    name = "q_stream_geo_" + uuid.uuid4().hex[:10]
+    run_available_now(agg, tempfile.mkdtemp(prefix="q_stream_geo_ckpt_"),
+                      name, output_mode="complete")
+    return spark.table(name)
+
+
 def q_ann_ivf_pruned(spark, sf_dir):
     """IVF ANN in the SUB-LINEAR regime (nprobe=1 of 8 clusters) on a
     planted-cluster construction where exactness is provable: 512 vectors in
@@ -985,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_envelope": q_st_envelope,
         "q_quality_scores": q_quality_scores,
         "q_stream_window_counts": q_stream_window_counts,
+        "q_stream_geo_tiles": q_stream_geo_tiles,
         "q_ann_ivf_pruned": q_ann_ivf_pruned,
         "q_rollup_revenue": q_rollup_revenue,
         "q_moving_avg": q_moving_avg,
@@ -1345,6 +1371,12 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events
             FROM events GROUP BY 1, 2, 3
         """,
+        "q_stream_geo_tiles": (lambda txy: f"""
+            SELECT {txy[0]} AS tile_x, {txy[1]} AS tile_y,
+                   COUNT(*) AS n_pages
+            FROM ({_geocode_oracle()}) WHERE lon IS NOT NULL
+            GROUP BY 1, 2
+        """)(tile_assign_oracle_sql("lon", "lat", 8)),
         "q_ann_ivf_pruned": f"""
             WITH vecs AS (
               SELECT CAST(i AS BIGINT) AS vec_id,

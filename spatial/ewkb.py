@@ -211,86 +211,95 @@ def decode_wkb(buf: bytes) -> Optional[Geom]:
 # -- encode ----------------------------------------------------------------
 
 def _header_bytes(gtype: int, srid, has_z: bool, has_m: bool,
-                  with_srid: bool) -> bytes:
+                  with_srid: bool, fmt: str = "<") -> bytes:
     word = gtype
     if has_z:
         word |= WKB_Z
     if has_m:
         word |= WKB_M
-    out = b"\x01" + struct.pack("<I", word | (WKB_SRID if (with_srid and srid is not None) else 0))
+    bo = b"\x01" if fmt == "<" else b"\x00"
+    out = bo + struct.pack(fmt + "I", word | (WKB_SRID if (with_srid and srid is not None) else 0))
     if with_srid and srid is not None:
-        out += struct.pack("<i", srid)
+        out += struct.pack(fmt + "i", srid)
     return out
 
 
-def _coords_bytes(g: Geom, a: int, b: int) -> bytes:
-    cols = [np.asarray(g.xs[a:b], dtype="<f8"), np.asarray(g.ys[a:b], dtype="<f8")]
+def _coords_bytes(g: Geom, a: int, b: int, fmt: str = "<") -> bytes:
+    cols = [np.asarray(g.xs[a:b], dtype=fmt + "f8"),
+            np.asarray(g.ys[a:b], dtype=fmt + "f8")]
     if g.has_z:
-        cols.append(np.asarray(g.zs[a:b], dtype="<f8"))
+        cols.append(np.asarray(g.zs[a:b], dtype=fmt + "f8"))
     if g.has_m:
-        cols.append(np.asarray(g.ms[a:b], dtype="<f8"))
-    return np.stack(cols, axis=1).tobytes()
+        cols.append(np.asarray(g.ms[a:b], dtype=fmt + "f8"))
+    # np.stack silently promotes non-native byte order to native: re-assert
+    return np.stack(cols, axis=1).astype(fmt + "f8").tobytes()
 
 
-def encode_geom(g: Optional[Geom], compat: str = "standard") -> Optional[bytes]:
-    """Geom -> little-endian EWKB bytes.
+def encode_geom(g: Optional[Geom], compat: str = "standard",
+                endian: str = "little") -> Optional[bytes]:
+    """Geom -> EWKB bytes.
 
     compat="standard": SRID flag on the top-level header only; nested Multi*
     elements carry Z/M flags but no SRID (PostGIS behavior).
     compat="reference": MultiPoint body = bare positions and nested elements
     repeat the SRID (Serialize.hs:115-128).
+    endian: "little" (default -- deterministic across hosts, unlike the
+    reference which stamps host endianness, Serialize.hs:94) or "big" (full
+    wire parity with big-endian writers; decode already accepted both).
     """
     if g is None:
         return None
     ref = compat == "reference"
-    out = bytearray(_header_bytes(g.gtype, g.srid, g.has_z, g.has_m, True))
+    fmt = "<" if endian == "little" else ">"
+    out = bytearray(_header_bytes(g.gtype, g.srid, g.has_z, g.has_m, True, fmt))
     ro, po = g.ring_offsets, g.part_offsets
 
     if g.gtype == POINT:
-        out += _coords_bytes(g, 0, max(len(g.xs), 0)) if g.xs else struct.pack(
-            "<%dd" % (2 + g.has_z + g.has_m), *([float("nan")] * (2 + g.has_z + g.has_m)))
+        out += _coords_bytes(g, 0, max(len(g.xs), 0), fmt) if g.xs else struct.pack(
+            fmt + "%dd" % (2 + g.has_z + g.has_m), *([float("nan")] * (2 + g.has_z + g.has_m)))
     elif g.gtype == LINESTRING:
-        out += struct.pack("<I", len(g.xs))
-        out += _coords_bytes(g, 0, len(g.xs))
+        out += struct.pack(fmt + "I", len(g.xs))
+        out += _coords_bytes(g, 0, len(g.xs), fmt)
     elif g.gtype == POLYGON:
-        out += struct.pack("<I", len(ro) - 1)
+        out += struct.pack(fmt + "I", len(ro) - 1)
         for i in range(len(ro) - 1):
-            out += struct.pack("<I", ro[i + 1] - ro[i])
-            out += _coords_bytes(g, ro[i], ro[i + 1])
+            out += struct.pack(fmt + "I", ro[i + 1] - ro[i])
+            out += _coords_bytes(g, ro[i], ro[i + 1], fmt)
     elif g.gtype == MULTIPOINT:
         n = len(po) - 1
-        out += struct.pack("<I", n)
+        out += struct.pack(fmt + "I", n)
         if ref:
-            out += _coords_bytes(g, 0, len(g.xs))  # bare positions quirk
+            out += _coords_bytes(g, 0, len(g.xs), fmt)  # bare positions quirk
         else:
             for i in range(n):
-                out += _header_bytes(POINT, g.srid, g.has_z, g.has_m, False)
-                out += _coords_bytes(g, i, i + 1)
+                out += _header_bytes(POINT, g.srid, g.has_z, g.has_m, False, fmt)
+                out += _coords_bytes(g, i, i + 1, fmt)
     elif g.gtype == MULTILINESTRING:
         n = len(po) - 1
-        out += struct.pack("<I", n)
+        out += struct.pack(fmt + "I", n)
         for i in range(n):
-            out += _header_bytes(LINESTRING, g.srid, g.has_z, g.has_m, ref)
+            out += _header_bytes(LINESTRING, g.srid, g.has_z, g.has_m, ref, fmt)
             a, b = ro[po[i]], ro[po[i] + 1]
-            out += struct.pack("<I", b - a)
-            out += _coords_bytes(g, a, b)
+            out += struct.pack(fmt + "I", b - a)
+            out += _coords_bytes(g, a, b, fmt)
     elif g.gtype == MULTIPOLYGON:
         n = len(po) - 1
-        out += struct.pack("<I", n)
+        out += struct.pack(fmt + "I", n)
         for i in range(n):
-            out += _header_bytes(POLYGON, g.srid, g.has_z, g.has_m, ref)
+            out += _header_bytes(POLYGON, g.srid, g.has_z, g.has_m, ref, fmt)
             r0, r1 = po[i], po[i + 1]
-            out += struct.pack("<I", r1 - r0)
+            out += struct.pack(fmt + "I", r1 - r0)
             for r in range(r0, r1):
-                out += struct.pack("<I", ro[r + 1] - ro[r])
-                out += _coords_bytes(g, ro[r], ro[r + 1])
+                out += struct.pack(fmt + "I", ro[r + 1] - ro[r])
+                out += _coords_bytes(g, ro[r], ro[r + 1], fmt)
     else:
         raise ValueError(f"unsupported gtype {g.gtype}")
     return bytes(out)
 
 
-def encode_hex(g: Optional[Geom], compat: str = "standard") -> Optional[str]:
-    b = encode_geom(g, compat)
+def encode_hex(g: Optional[Geom], compat: str = "standard",
+               endian: str = "little") -> Optional[str]:
+    b = encode_geom(g, compat, endian)
     return b.hex() if b is not None else None
 
 

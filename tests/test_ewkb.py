@@ -189,3 +189,37 @@ def test_spark_fast_point_path(spark):
     )
     assert [r["x"] for r in rows] == [float(i) / 7 for i in range(500)]
     assert all(r["srid"] == 4326 for r in rows)
+
+
+def test_big_endian_encode_roundtrip():
+    """encode(endian='big') -> decode round-trips every kind (decode already
+    accepted BE input; this closes the encode side of wire parity with
+    big-endian writers -- the reference stamps host endianness on write,
+    Serialize.hs:94)."""
+    from spatial.ewkb import decode_hex, encode_hex
+    from spatial.geometry import (linestring, multilinestring, multipoint,
+                                  multipolygon, point, polygon)
+
+    geoms = [
+        point(1.5, -2.25, srid=4326),
+        point(1.0, 2.0, 3.0, 4.0, srid=3857),
+        linestring([(0, 0), (1, 1), (2, 0.5)], srid=4326),
+        polygon([[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+                 [(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]], srid=4326),
+        multipoint([(0, 0), (5, 5)], srid=4326),
+        multilinestring([[(0, 0), (1, 1)], [(2, 2), (3, 3), (4, 4)]]),
+        multipolygon([[[(0, 0), (1, 0), (1, 1), (0, 0)]],
+                      [[(5, 5), (6, 5), (6, 6), (5, 5)]]], srid=4326),
+    ]
+    for g in geoms:
+        hx = encode_hex(g, endian="big")
+        assert hx.startswith("00")  # big-endian byte-order marker
+        back = decode_hex(hx)
+        assert back.gtype == g.gtype and back.srid == g.srid
+        assert [float(v) for v in back.xs] == [float(v) for v in g.xs]
+        assert [float(v) for v in back.ys] == [float(v) for v in g.ys]
+        assert list(back.ring_offsets) == list(g.ring_offsets)
+        assert list(back.part_offsets) == list(g.part_offsets)
+        # BE and LE encodings decode to the same geometry
+        le = decode_hex(encode_hex(g))
+        assert [float(v) for v in le.xs] == [float(v) for v in back.xs]
