@@ -475,11 +475,12 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal feature extraction with REAL decoding: image rows carry
-    genuine BMP payloads decoded by the from-scratch NumPy decoder; opaque
-    audio/video bytes deterministically fail into decode_ok=false rows.
-    Oracle: the payload-independent contract (kind cycle, fixed feat_dim,
-    decode_ok == decodable-format) in closed-form SQL."""
+    """Multimodal feature extraction with REAL decoding for every kind:
+    BMP images, AU01 PCM audio, VI01 frame-sequence video (decode /
+    feature-extract / resize / frame-sample all from-scratch NumPy, no
+    codec library). Oracle: the payload-independent contract (kind cycle,
+    fixed feat_dim, decode_ok true for all decodable rows) in closed-form
+    SQL; kernel exactness pinned by tests/test_datapipe.py round-trips."""
     from spatial.datapipe.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 120)
@@ -1418,7 +1419,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                               ELSE 'video' END AS kind,
                    CAST(16 AS INT) AS feat_dim,
-                   (i % 3 = 0) AS decode_ok
+                   TRUE AS decode_ok
             FROM (SELECT unnest(generate_series(0, 119)) AS i)
         """,
         "q_ann_ivf": f"""

@@ -9,15 +9,17 @@ into Python exactly once per batch.
 
 Decode support, in order of preference:
 
-* **BMP** (BITMAPINFOHEADER, uncompressed 8/24/32-bit) and **PPM (P6)** are
-  decoded for real, from scratch in NumPy -- these formats need no codec
-  library, so the pipeline is genuinely end-to-end on them.
-* Compressed formats (JPEG/PNG/audio/video) would need PIL/ffmpeg, which are
+* **BMP** (BITMAPINFOHEADER, uncompressed 8/24/32-bit) and **PPM (P6)**
+  images, **AU01** audio (s16 PCM) and **VI01** video (BMP frame sequence)
+  are decoded for real, from scratch in NumPy -- header-described
+  uncompressed formats need no codec library, so decode / feature-extract /
+  resize / frame-sample all run genuinely end-to-end.
+* Compressed formats (JPEG/PNG/MP3/H.264) would need PIL/ffmpeg, which are
   not installed in this environment: those payloads raise unless
   ``fake=True``, in which case a clearly-marked deterministic fake derives
   "pixels" from the byte content. Swapping in a real codec is a one-function
   change; every surrounding Spark surface (schema, partitioning, UDF
-  signature, batch shape, error rows) is real and tested either way.
+  signature, batch shape, error rows) is identical either way.
 """
 
 from __future__ import annotations
@@ -134,6 +136,82 @@ def encode_bmp(gray: np.ndarray) -> bytes:
     return header + dib + body
 
 
+def resize_gray(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize of a grayscale array (the resize kernel of
+    the multimodal pipeline; pure NumPy index arithmetic)."""
+    src = np.asarray(img, dtype=np.float64)
+    sh, sw = src.shape
+    ri = np.minimum((np.arange(h) * sh) // h, sh - 1)
+    ci = np.minimum((np.arange(w) * sw) // w, sw - 1)
+    return src[ri][:, ci]
+
+
+def decode_audio(data: bytes) -> np.ndarray:
+    """AU01 container (u32 n_samples + s16le PCM) -> samples mapped onto the
+    0..255 grayscale range so the shared histogram featurizer applies."""
+    if data[:4] != b"AU01":
+        raise ValueError("not an AU01 payload")
+    import struct as _s
+    (n,) = _s.unpack_from("<I", data, 4)
+    samples = np.frombuffer(data, dtype="<i2", count=n, offset=8)
+    return (samples.astype(np.float64) + 32768.0) / 256.0
+
+
+def encode_audio(samples: np.ndarray) -> bytes:
+    import struct as _s
+    s = np.asarray(samples, dtype="<i2")
+    return b"AU01" + _s.pack("<I", len(s)) + s.tobytes()
+
+
+def decode_video_frames(data: bytes) -> list[bytes]:
+    """VI01 container (u32 n_frames + per-frame u32 length + BMP bytes) ->
+    raw frame payloads."""
+    if data[:4] != b"VI01":
+        raise ValueError("not a VI01 payload")
+    import struct as _s
+    (n,) = _s.unpack_from("<I", data, 4)
+    off = 8
+    frames = []
+    for _ in range(n):
+        (ln,) = _s.unpack_from("<I", data, off)
+        off += 4
+        frames.append(data[off : off + ln])
+        off += ln
+    return frames
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    import struct as _s
+    out = b"VI01" + _s.pack("<I", len(frames))
+    for f in frames:
+        out += _s.pack("<I", len(f)) + f
+    return out
+
+
+def frame_sample(data: bytes, k: int) -> list[np.ndarray]:
+    """k evenly spaced decoded frames of a VI01 video (the frame-sample
+    kernel), each resized to 8x8."""
+    frames = decode_video_frames(data)
+    if not frames:
+        return []
+    idx = np.unique((np.arange(k) * len(frames)) // max(k, 1))
+    return [resize_gray(decode_bmp(frames[i]), 8, 8) for i in idx]
+
+
+def decode_media(payload: bytes, meta, fake: bool = False) -> np.ndarray:
+    """Any supported payload -> grayscale-range array for the featurizer:
+    BMP/PPM images, AU01 audio, VI01 video (mean of 4 sampled frames)."""
+    b = bytes(payload)
+    if b[:4] == b"AU01":
+        return decode_audio(b)
+    if b[:4] == b"VI01":
+        frames = frame_sample(b, 4)
+        if not frames:
+            raise ValueError("empty video")
+        return np.mean(frames, axis=0)
+    return decode_image(b, meta, fake=fake)
+
+
 def decode_image(payload: bytes, meta, fake: bool = False) -> np.ndarray:
     """Decode payload -> (H, W) grayscale array.
 
@@ -169,7 +247,7 @@ def extract_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
             feats, oks = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 try:
-                    img = decode_image(payload, meta, fake=fake_decode)
+                    img = decode_media(payload, meta, fake=fake_decode)
                     hist, _ = np.histogram(img, bins=_FEAT_DIM, range=(0, 256))
                     total = hist.sum() or 1
                     feats.append((hist / total).tolist())
@@ -191,24 +269,29 @@ def extract_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table exercising the schema + batch path.
 
-    image rows carry a REAL 16x16 24-bit BMP (decodable end-to-end with no
-    codec library); audio/video rows carry kind-tagged opaque bytes (their
-    magic never collides with BMP/PPM, so decode_ok is deterministically
-    false for them under real decoding)."""
+    every kind carries a REAL decodable payload (no codec library needed):
+    image = 16x16 24-bit BMP; audio = AU01 s16 PCM; video = VI01 sequence of
+    (3 + i % 4) BMP frames. The full decode / feature-extract / resize /
+    frame-sample pipeline therefore runs genuinely end-to-end."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/bmp", "audio": "audio/x-au01",
+             "video": "video/x-vi01"}
     for i in range(n):
         k = kinds[i % 3]
         if k == "image":
-            gray = rng.integers(0, 256, (16, 16), dtype=np.uint8)
-            payload = encode_bmp(gray)
+            payload = encode_bmp(rng.integers(0, 256, (16, 16), dtype=np.uint8))
+        elif k == "audio":
+            n_samp = int(rng.integers(200, 800))
+            payload = encode_audio(
+                rng.integers(-32768, 32768, n_samp).astype("<i2"))
         else:
-            size = int(rng.integers(64, 512))
-            body = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
-            payload = (b"AU" if k == "audio" else b"VI") + body
+            n_frames = 3 + i % 4
+            frames = [encode_bmp(rng.integers(0, 256, (12, 12), dtype=np.uint8))
+                      for _ in range(n_frames)]
+            payload = encode_video(frames)
         rows.append((i, k, payload,
-                     {"mime": f"{k}/x-fake" if k != "image" else "image/bmp",
-                      "width": 16, "height": 16,
+                     {"mime": mimes[k], "width": 16, "height": 16,
                       "duration_ms": 1000 if k != "image" else None}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

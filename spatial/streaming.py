@@ -81,6 +81,35 @@ def sessionize_stream(events_stream: DataFrame, ts_col: str, key_col: str,
     )
 
 
+def stateful_running_totals(events_stream: DataFrame,
+                            key_col: str = "user_id") -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    (the task-mandated escape hatch when built-in streaming aggregations
+    can't express the semantics): per-key running event totals carried in
+    explicit group state across micro-batches. Each batch emits the key's
+    cumulative count so far; counts are monotone, so the final value per
+    key equals the batch groupBy count (the equivalence the test pins)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        prev = state.get[0] if state.exists else 0
+        total = prev + n_new
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [total]})
+
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_events long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       out_table_name: str, output_mode: str = "update") -> None:
     """Process everything currently available, then stop (catch-up ingest).

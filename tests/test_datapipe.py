@@ -206,17 +206,50 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_real_decode(spark):
-    """BMP image rows decode for REAL (no codec lib, no fake flag); opaque
-    audio/video payloads deterministically fail into decode_ok=false rows."""
+    """ALL kinds decode for REAL (no codec lib, no fake flag): BMP images,
+    AU01 PCM audio, VI01 frame-sequence video; undecodable payloads fail
+    into decode_ok=false rows instead of killing the job."""
     media = synth_media(spark, 30)
     rows = extract_features(media, fake_decode=False).collect()
     by_kind = {}
     for r in rows:
         by_kind.setdefault(r["kind"], []).append(r)
-    assert all(r["decode_ok"] for r in by_kind["image"])
-    assert all(abs(sum(r["feat"]) - 1.0) < 1e-9 for r in by_kind["image"])
-    assert all(not r["decode_ok"] and r["feat"] is None
-               for r in by_kind["audio"] + by_kind["video"])
+    for kind in ("image", "audio", "video"):
+        assert all(r["decode_ok"] for r in by_kind[kind]), kind
+        assert all(abs(sum(r["feat"]) - 1.0) < 1e-9 for r in by_kind[kind]), kind
+    # garbage payload -> error row
+    bad = spark.createDataFrame(
+        [(99, "image", b"\x00garbage", {"mime": "x", "width": 4, "height": 4,
+                                        "duration_ms": None})],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    r = extract_features(bad, fake_decode=False).first()
+    assert r["decode_ok"] is False and r["feat"] is None
+
+
+def test_audio_video_containers_roundtrip():
+    import numpy as np
+
+    from spatial.datapipe.multimodal import (decode_audio, decode_bmp,
+                                             decode_video_frames, encode_audio,
+                                             encode_bmp, encode_video,
+                                             frame_sample, resize_gray)
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, 500).astype("<i2")
+    back = decode_audio(encode_audio(s))
+    assert len(back) == 500
+    assert (back == (s.astype(np.float64) + 32768.0) / 256.0).all()
+    frames = [encode_bmp(rng.integers(0, 256, (12, 12), dtype=np.uint8))
+              for _ in range(5)]
+    payload = encode_video(frames)
+    got = decode_video_frames(payload)
+    assert got == frames
+    sampled = frame_sample(payload, 3)
+    assert len(sampled) == 3 and all(f.shape == (8, 8) for f in sampled)
+    # resize picks nearest-neighbor source pixels
+    img = np.arange(16, dtype=np.float64).reshape(4, 4)
+    rz = resize_gray(img, 2, 2)
+    assert rz.shape == (2, 2) and rz[0, 0] == img[0, 0]
 
 
 def test_bmp_roundtrip():

@@ -66,3 +66,31 @@ def test_sessionize_stream(spark, pages_dir, tmp_path):
     assert len(rows) > 0
     assert all(r["n_events"] >= 1 for r in rows)
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState custom operator: state carried across several
+    real micro-batches; final per-key total == batch groupBy count."""
+    from pyspark.sql import functions as F
+
+    from spatial.streaming import run_available_now, stateful_running_totals
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(6).write.mode("overwrite").parquet(src)  # 6 files
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))  # ~3 batches
+    out = stateful_running_totals(stream, "user_id")
+    run_available_now(out, str(tmp_path / "ckpt"), "stateful_totals",
+                      output_mode="update")
+    got = (spark.table("stateful_totals")
+           .groupBy("user_id").agg(F.max("n_events").alias("n"))
+           .collect())
+    want = {r["user_id"]: r["n"] for r in
+            ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert {r["user_id"]: r["n"] for r in got} == want
+    # state genuinely spanned batches: some key must have been emitted more
+    # than once with increasing totals
+    multi = (spark.table("stateful_totals").groupBy("user_id")
+             .agg(F.count("*").alias("k")).where("k > 1").count())
+    assert multi > 0
