@@ -112,6 +112,23 @@ def assign_clusters(corpus: DataFrame, centroids: np.ndarray,
     return corpus.withColumn("cluster", nearest(vec_col))
 
 
+def write_clustered(corpus_clustered: DataFrame, path: str,
+                    mode: str = "overwrite") -> None:
+    """Persist an assign_clusters output partitioned BY CLUSTER: with this
+    layout ivf_topk's cluster IN-list predicate becomes real partition
+    pruning at the source -- a query scanning nprobe of n_clusters
+    partitions reads nprobe/n_clusters of the corpus bytes (the scale story
+    the IVF docstring promises; pruning is plan-asserted in tests)."""
+    corpus_clustered.write.partitionBy("cluster").mode(mode).parquet(path)
+
+
+def read_clustered(spark, path: str) -> DataFrame:
+    """Read a write_clustered store; `cluster` comes back as a partition
+    column, so downstream isin() filters prune at file-listing time."""
+    df = spark.read.parquet(path)
+    return df.withColumn("cluster", F.col("cluster").cast("int"))
+
+
 def ivf_topk(
     corpus_clustered: DataFrame,
     centroids: np.ndarray,

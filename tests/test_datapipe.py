@@ -277,3 +277,33 @@ def test_ppm_decode():
     expect = np.floor(0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
                       + 0.114 * rgb[:, :, 2] + 0.5)
     assert (out == expect).all()
+
+
+def test_ivf_partition_pruning(spark, tmp_path):
+    """IVF over cluster-partitioned storage: the nprobe IN-list reaches the
+    scan as a PartitionFilter (reads nprobe/n_clusters of the files), and
+    results equal IVF over the unpartitioned frame."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spatial.datapipe.similarity import (assign_clusters, ivf_topk,
+                                             read_clustered, train_centroids,
+                                             write_clustered)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    C = train_centroids(emb, n_clusters=8, seed=42)
+    clustered = assign_clusters(emb, C)
+    store = str(tmp_path / "ivf_store")
+    write_clustered(clustered, store)
+    stored = read_clustered(spark, store)
+
+    rng = np.random.default_rng(5)
+    Q = rng.normal(size=(4, 64))
+    got = ivf_topk(stored, C, Q, k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200]
+    a = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in got.collect())
+    b = sorted((r["query_id"], r["rank"], r["vec_id"])
+               for r in ivf_topk(clustered, C, Q, k=5, nprobe=2).collect())
+    assert a == b
