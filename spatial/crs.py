@@ -48,3 +48,35 @@ def st_transform(lon: Column, lat: Column, from_srid: int,
     if (from_srid, to_srid) == (3857, 4326):
         return mercator_to_lonlat(lon, lat)
     raise ValueError(f"unsupported transform {from_srid} -> {to_srid}")
+
+
+def st_transform_geom(geom: Column, from_srid: int, to_srid: int) -> Column:
+    """GEOMETRY-struct reprojection: the same closed forms applied to the
+    whole coordinate arrays via F.transform + arrays_zip -- pure JVM,
+    works for every geometry kind (offsets/flags carried through, srid
+    restamped). Mirrors the reference's per-geometry SRID carry
+    (Geometry.hs:19) with an actual transform attached."""
+    if from_srid == to_srid:
+        return geom
+    pairs = F.arrays_zip(geom["xs"].alias("x"), geom["ys"].alias("y"))
+
+    def _tx(p):
+        x, y = st_transform(p["x"], p["y"], from_srid, to_srid)
+        return x
+
+    def _ty(p):
+        x, y = st_transform(p["x"], p["y"], from_srid, to_srid)
+        return y
+
+    return F.struct(
+        geom["gtype"].alias("gtype"),
+        F.when(geom["gtype"].isNotNull(), F.lit(to_srid)).alias("srid"),
+        geom["has_z"].alias("has_z"),
+        geom["has_m"].alias("has_m"),
+        F.transform(pairs, _tx).alias("xs"),
+        F.transform(pairs, _ty).alias("ys"),
+        geom["zs"].alias("zs"),
+        geom["ms"].alias("ms"),
+        geom["ring_offsets"].alias("ring_offsets"),
+        geom["part_offsets"].alias("part_offsets"),
+    )

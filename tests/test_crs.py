@@ -41,3 +41,34 @@ def test_identity_and_unsupported():
     assert st_transform(c, c, 4326, 4326) == (c, c)
     with pytest.raises(ValueError):
         st_transform(c, c, 4326, 27700)
+
+
+def test_st_transform_geom_roundtrip(spark):
+    """Geometry-struct transform: 4326 -> 3857 -> 4326 round-trips every
+    vertex of a polygon (pure JVM array transform; srid restamped)."""
+    from pyspark.sql import functions as F
+
+    from spatial.crs import st_transform_geom
+    from spatial.geometry import GEOMETRY, polygon
+
+    ring = [(-118.25, 34.05), (-118.0, 34.05), (-118.0, 34.3),
+            (-118.25, 34.3), (-118.25, 34.05)]
+    g = polygon([ring], srid=4326)
+    df = spark.createDataFrame([(1, g.as_row())],
+                               f"id long, geom {GEOMETRY.simpleString()}")
+    out = df.select(
+        st_transform_geom(
+            st_transform_geom(F.col("geom"), 4326, 3857), 3857, 4326
+        ).alias("g"),
+        st_transform_geom(F.col("geom"), 4326, 3857).alias("m"))
+    row = out.first()
+    assert row["m"]["srid"] == 3857
+    assert row["g"]["srid"] == 4326
+    for got, want in zip(row["g"]["xs"], [p[0] for p in ring]):
+        assert abs(got - want) < 1e-9
+    for got, want in zip(row["g"]["ys"], [p[1] for p in ring]):
+        assert abs(got - want) < 1e-9
+    assert list(row["g"]["ring_offsets"]) == [0, 5]
+    # plan stays JVM-side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan

@@ -146,3 +146,29 @@ def test_cluster_by_cell_ranges_disjoint(spark, fixtures):
     spans = sorted((r["lo"], r["hi"]) for r in ranges)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint, ordered intervals
+
+
+def test_shuffle_refine_fallback_row_identity(spark):
+    """broadcast_max_bytes=0 forces BOTH the candidate join off broadcast
+    AND the geometry re-attach onto the region-id shuffle path; the result
+    must be row-identical to the broadcast plan."""
+    from spatial.ewkb import ewkb_decode
+    from spatial.join import SpatialJoinPlan
+    from spatial.pipeline import enrich_pages
+    from spatial.synth import synth_pages, synth_regions
+
+    regions = synth_regions(spark).withColumn(
+        "geom", ewkb_decode("geom_hex")).select("region_id", "geom")
+    pages = enrich_pages(synth_pages(spark, 3000), 12)
+    base = SpatialJoinPlan(regions)
+    assert base.use_broadcast and base.broadcast_geoms
+    fb = SpatialJoinPlan(regions, broadcast_max_bytes=0)
+    assert not fb.use_broadcast and not fb.broadcast_geoms
+    want = sorted((r["url"], r["region_id"]) for r in
+                  base.join(pages, x_col="lon", y_col="lat")
+                  .select("url", "region_id").collect())
+    got = sorted((r["url"], r["region_id"]) for r in
+                 fb.join(pages, x_col="lon", y_col="lat")
+                 .select("url", "region_id").collect())
+    assert got == want and len(got) > 0
+    base.unpersist(); fb.unpersist()
