@@ -272,6 +272,25 @@ def q_wkt_roundtrip(spark, sf_dir):
     )
 
 
+def q_pg_field_roundtrip(spark, sf_dir):
+    """PostGIS-over-JDBC field boundary (the reference's raison d'etre,
+    README.md:13-34): GEOMETRY -> to_pg_field (the exact hex text postgres
+    ingests) -> from_pg_field (what FromField/readGeometry computes on the
+    returned field) -> coordinates. Identity contract, same oracle shape as
+    the codec round-trips."""
+    from spatial.pg import from_pg_field, to_pg_field
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("field", to_pg_field(_point_struct()))
+        .withColumn("g", from_pg_field(F.col("field")))
+        .select("event_id",
+                F.col("g.xs")[0].alias("x"),
+                F.col("g.ys")[0].alias("y"),
+                F.col("g.srid").alias("srid"))
+    )
+
+
 def q_geojson_roundtrip(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
@@ -989,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewkb_roundtrip": q_ewkb_roundtrip,
         "q_wkt_roundtrip": q_wkt_roundtrip,
         "q_geojson_roundtrip": q_geojson_roundtrip,
+        "q_pg_field_roundtrip": q_pg_field_roundtrip,
         "q_token_count": q_token_count,
         "q_lang_rollup": q_lang_rollup,
         "q_exact_dedup": q_exact_dedup,
@@ -1173,6 +1193,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y, 4326 AS srid
             FROM events""",
         "q_geojson_roundtrip": f"""
+            SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y, 4326 AS srid
+            FROM events""",
+        "q_pg_field_roundtrip": f"""
             SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y, 4326 AS srid
             FROM events""",
         "q_token_count": """

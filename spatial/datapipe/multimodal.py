@@ -152,7 +152,11 @@ def decode_audio(data: bytes) -> np.ndarray:
     if data[:4] != b"AU01":
         raise ValueError("not an AU01 payload")
     import struct as _s
+    if len(data) < 8:
+        raise ValueError("truncated AU01 header")
     (n,) = _s.unpack_from("<I", data, 4)
+    if len(data) < 8 + 2 * n:
+        raise ValueError("truncated AU01 body")
     samples = np.frombuffer(data, dtype="<i2", count=n, offset=8)
     return (samples.astype(np.float64) + 32768.0) / 256.0
 
@@ -169,12 +173,18 @@ def decode_video_frames(data: bytes) -> list[bytes]:
     if data[:4] != b"VI01":
         raise ValueError("not a VI01 payload")
     import struct as _s
+    if len(data) < 8:
+        raise ValueError("truncated VI01 header")
     (n,) = _s.unpack_from("<I", data, 4)
     off = 8
     frames = []
     for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError("truncated VI01 frame header")
         (ln,) = _s.unpack_from("<I", data, off)
         off += 4
+        if off + ln > len(data):
+            raise ValueError("truncated VI01 frame body")
         frames.append(data[off : off + ln])
         off += ln
     return frames

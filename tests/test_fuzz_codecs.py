@@ -131,3 +131,25 @@ def test_geojson_fuzz_roundtrip(g):
     j = encode_geojson(g)
     g2 = decode_geojson(j)
     assert _geom_eq(g, g2)
+
+
+def test_media_decoders_never_crash_on_garbage():
+    """Robustness: random bytes (incl. valid-looking magics with corrupt
+    bodies) must raise cleanly -- at pipeline level they become
+    decode_ok=false rows, never a job failure."""
+    import numpy as np
+
+    from spatial.datapipe.multimodal import decode_media
+
+    rng = np.random.default_rng(17)
+    magics = [b"", b"BM", b"P6", b"AU01", b"VI01", b"\x00\x01"]
+    for trial in range(300):
+        magic = magics[trial % len(magics)]
+        body = rng.integers(0, 256, int(rng.integers(0, 200)),
+                            dtype=np.uint8).tobytes()
+        try:
+            out = decode_media(magic + body, {"width": 4, "height": 4})
+            # a successful decode must be a sane ndarray
+            assert out.size >= 0
+        except Exception as e:
+            assert isinstance(e, (ValueError, NotImplementedError, IndexError))
