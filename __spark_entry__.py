@@ -313,6 +313,19 @@ def q_token_count(spark, sf_dir):
                     total_chars.alias("word_chars"))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish tokenizer (words and punctuation runs count separately; the
+    task-mandated second token counter). The engine splits on whitespace +
+    word/non-word lookaround boundaries; the oracle counts the equivalent
+    maximal [a-z0-9_]+ / non-space-punct runs (RE2 has no lookarounds) --
+    verified equal over the whole corpus."""
+    from spatial.datapipe.textstats import token_count_bpe
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    token_count_bpe(F.col("text")).cast("long").alias("n_bpe"))
+
+
 def q_lang_rollup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return (
@@ -1010,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geojson_roundtrip": q_geojson_roundtrip,
         "q_pg_field_roundtrip": q_pg_field_roundtrip,
         "q_token_count": q_token_count,
+        "q_token_count_bpe": q_token_count_bpe,
         "q_lang_rollup": q_lang_rollup,
         "q_exact_dedup": q_exact_dedup,
         "q_embedding_topk": q_embedding_topk,
@@ -1206,6 +1220,11 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
                                    x -> x <> ''),
                        x -> LENGTH(x))), 0) AS BIGINT) AS word_chars
+            FROM documents""",
+        "q_token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(trim(text)),
+                        '[a-z0-9_]+|[^a-z0-9_\\s]+')) AS BIGINT) AS n_bpe
             FROM documents""",
         "q_lang_rollup": """
             SELECT lang, COUNT(*) AS n_docs,
