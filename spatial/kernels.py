@@ -240,19 +240,58 @@ def convex_hull(xs, ys) -> tuple:
 
 
 def st_isvalid_udf():
-    """pandas_udf: GEOMETRY -> boolean validity."""
+    """pandas_udf: GEOMETRY -> boolean validity, batch-vectorized.
+
+    Closure + min-size prechecks run as whole-batch array compares over the
+    flattened coordinates; the O(E^2) proper-self-intersection test then
+    runs as ONE vectorized orientation call over the concatenated edge-pair
+    index set of every candidate ring (per-ring Python is limited to
+    building integer index grids -- no per-row floating-point loops)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
 
     @pandas_udf(BooleanType())
     def st_isvalid(geom: pd.DataFrame) -> pd.Series:
-        out = []
-        for row in geom.to_dict("records"):
-            if row.get("xs") is None:
-                out.append(None)
+        fb = _FlatBatch(geom)
+        nrows = len(fb.row_lens)
+        valid = np.ones(nrows, dtype=bool)
+        x, y = fb.flat_x, fb.flat_y
+        rs, re_, rrow = fb.ring_starts, fb.ring_ends, fb.ring_row
+        # precheck: every ring closed with >= 4 points (incl. closure)
+        if len(rs):
+            ok_ring = ((re_ - rs >= 4)
+                       & (x[rs] == x[np.maximum(re_ - 1, 0)])
+                       & (y[rs] == y[np.maximum(re_ - 1, 0)]))
+            np.logical_and.at(valid, rrow, ok_ring)
+        # proper self-intersection over candidate rings: one batched call
+        cand = np.nonzero(valid)[0]
+        cand_mask = np.zeros(nrows, dtype=bool)
+        cand_mask[cand] = True
+        ii, jj, prow = [], [], []
+        for k in range(len(rs)):
+            if not cand_mask[rrow[k]]:
                 continue
-            out.append(geom_is_valid(row["xs"], row["ys"], row["ring_offsets"]))
-        return pd.Series(out)
+            a, b = int(rs[k]), int(re_[k])
+            n_edges = b - a - 1  # ring is closed: edges = consecutive pairs
+            if n_edges < 4:
+                continue
+            i, j = np.triu_indices(n_edges, k=2)
+            keep = ~((i == 0) & (j == n_edges - 1))  # wraparound neighbors
+            ii.append(i[keep] + a)
+            jj.append(j[keep] + a)
+            prow.append(np.full(keep.sum(), rrow[k], dtype=np.int64))
+        if ii:
+            I = np.concatenate(ii)
+            J = np.concatenate(jj)
+            R = np.concatenate(prow)
+            hits = _segments_intersect(
+                (x[I], y[I]), (x[I + 1], y[I + 1]),
+                (x[J], y[J]), (x[J + 1], y[J + 1]))
+            np.logical_and.at(valid, R, ~hits)
+        res = np.empty(fb.n, dtype=object)
+        res[:] = None
+        res[np.nonzero(fb.valid)[0]] = [bool(v) for v in valid]
+        return pd.Series(res)
 
     return st_isvalid
 
@@ -375,7 +414,8 @@ class _FlatBatch:
     the floating-point math."""
 
     __slots__ = ("n", "valid", "flat_x", "flat_y", "row_starts", "row_lens",
-                 "pair_valid", "ring_last_pair")
+                 "pair_valid", "ring_last_pair", "ring_starts", "ring_ends",
+                 "ring_row")
 
     def __init__(self, geom: pd.DataFrame):
         xs_np = geom["xs"].to_numpy(dtype=object)
@@ -395,16 +435,25 @@ class _FlatBatch:
             self.row_lens = np.zeros(0, dtype=np.int64)
             self.pair_valid = np.zeros(0, dtype=bool)
             self.ring_last_pair = np.zeros(0, dtype=np.int64)
+            self.ring_starts = np.zeros(0, dtype=np.int64)
+            self.ring_ends = np.zeros(0, dtype=np.int64)
+            self.ring_row = np.zeros(0, dtype=np.int64)
             return
         self.row_lens = np.asarray([len(x) for x in xs], dtype=np.int64)
         self.row_starts = np.concatenate(
             [[0], np.cumsum(self.row_lens)]).astype(np.int64)
         self.flat_x = np.concatenate(xs) if xs else np.zeros(0)
         self.flat_y = np.concatenate(ys) if ys else np.zeros(0)
-        # global ring end positions (every ring boundary, incl. row joints)
+        # global ring boundaries (every ring, incl. row joints)
         ring_ends = np.concatenate(
             [s + ro[1:] for s, ro in zip(self.row_starts[:-1], ros)]
         ) if ros else np.zeros(0, dtype=np.int64)
+        self.ring_starts = np.concatenate(
+            [s + ro[:-1] for s, ro in zip(self.row_starts[:-1], ros)]
+        ).astype(np.int64) if ros else np.zeros(0, dtype=np.int64)
+        self.ring_ends = ring_ends.astype(np.int64)
+        nr = np.asarray([len(ro) - 1 for ro in ros], dtype=np.int64)
+        self.ring_row = np.repeat(np.arange(len(ros), dtype=np.int64), nr)
         n_pairs = max(len(self.flat_x) - 1, 0)
         pv = np.ones(n_pairs, dtype=bool)
         last = ring_ends - 1
