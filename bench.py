@@ -168,6 +168,16 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
           lambda: minhash_dedup_pairs(
               docs.select("doc_id", "text"), threshold=0.7,
               num_perm=64, bands=16).count())
+    from spatial.datapipe.dedup import embedding_dup_pairs, simhash_pairs
+    timed("simhash_dedup",
+          lambda: simhash_pairs(docs.select("doc_id", "text"),
+                                max_hamming=3).count())
+    emb_d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    timed("embedding_dups",
+          lambda: embedding_dup_pairs(emb_d, threshold=0.99,
+                                      n_planes=12, n_tables=6).count())
     rng = np.random.default_rng(42)
     dim = len(emb.select("embedding").first()[0])
     Q = rng.normal(size=(16, dim))
