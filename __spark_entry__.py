@@ -387,14 +387,20 @@ def q_s2_cell_rollup(spark, sf_dir):
 
 def q_knn_grid(spark, sf_dir):
     """Grid-pruned kNN (cell-disk doubling rounds + brute fallback). Its
-    contract is bit-equality with brute-force haversine kNN, so the oracle is
-    the q_knn_planar SQL shape with the haversine formula -- raw doubles
-    matched bit-exact at sf0.01 (JVM and DuckDB agree on this grid)."""
+    contract is equality with brute-force haversine kNN, so the oracle is
+    the q_knn_planar SQL shape with the haversine formula. dist_m is rounded
+    at 6 decimals on BOTH sides per the float-parity policy (transcendental
+    libm results carry no cross-implementation bit guarantee -- they DID
+    match bit-exact empirically, but the policy demands the rounding; the
+    micrometre rounding sits ~9 orders of magnitude above libm ulps, and
+    neighbor distances on this grid are km apart so ordering cannot flip)."""
     from spatial.knn import knn_join
 
     ev = _events(spark, sf_dir).select("event_id", _lon().alias("x"), _lat().alias("y"))
     qdf = spark.createDataFrame(KNN_QUERIES, "query_id long, qx double, qy double")
-    return knn_join(ev, qdf, k=5, level=6, point_id="event_id")
+    out = knn_join(ev, qdf, k=5, level=6, point_id="event_id")
+    return out.select("query_id", "id", "rank",
+                      F.round("dist_m", 6).alias("dist_m"))
 
 
 def q_spatial_join_pages(spark, sf_dir):
@@ -1499,7 +1505,8 @@ def oracle_sql() -> dict[str, str]:
                               ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY dist_m ASC, event_id ASC) AS rank
                        FROM scored)
-            SELECT query_id, event_id AS id, CAST(rank AS INT) AS rank, dist_m
+            SELECT query_id, event_id AS id, CAST(rank AS INT) AS rank,
+                   round(dist_m, 6) AS dist_m
             FROM ranked WHERE rank <= 5
         """,
     }

@@ -128,11 +128,6 @@ def minhash_candidates(
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    if sig_df is None:
-        mh = make_minhash_udf(num_perm, shingle_k)
-        sig = df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig"))
-    else:
-        sig = sig_df.select("id", "sig")
     # Bucket key = the raw (band_index, band_slice) struct -- no hashing.
     # Grouping on the value itself is collision-free by construction (an
     # xxhash64 key admitted 2^-64 cross-band collisions) and is what lets
@@ -142,6 +137,20 @@ def minhash_candidates(
                  F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("vals"))
         for b in range(bands)
     ]
+    if sig_df is None:
+        # standalone path: persist the UDF signatures -- the candidate plan
+        # reads the banded rows twice (count guard + collect), which would
+        # otherwise run the signature UDF twice over the corpus. The eager
+        # candidate materialization releases the cache before returning.
+        mh = make_minhash_udf(num_perm, shingle_k)
+        sig = df.select(F.col(id_col).alias("id"),
+                        mh(F.col(text_col)).alias("sig")).persist()
+        banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bucket"))
+        cand = _bucket_pairs(banded, max_bucket).persist()
+        cand.count()
+        sig.unpersist()
+        return cand
+    sig = sig_df.select("id", "sig")
     banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bucket"))
     return _bucket_pairs(banded, max_bucket)
 
@@ -213,6 +222,11 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Verified near-dup pairs: LSH candidates -> minhash-estimate prefilter
     -> exact n-gram Jaccard.
+
+    The estimate-filtered candidate set stays persisted (it backs the lazy
+    verify joins of the returned frame); it is pair-set sized, and callers
+    running many corpora through one session may unpersist the returned
+    frame's cache when done.
 
     The prefilter computes the unbiased Jaccard estimate (fraction of equal
     signature components) entirely JVM-side and drops candidates estimated
@@ -288,7 +302,14 @@ def shingle_hash_oracle_sql(docs_cte: str, k: int) -> str:
     k-byte rolling polynomial hash then the _mix64 finalizer, yielding one
     (id, pos, sh) row per shingle (duplicates preserved -- simhash votes
     need them; jaccard DISTINCTs downstream). ASCII-only corpus assumption:
-    ascii(substr(..)) == utf-8 byte (checked: max codepoint 121)."""
+    ascii(substr(..)) == utf-8 byte (checked: max codepoint 121).
+
+    Short-text parity: texts with 0 < len < k are space-padded to exactly k
+    (one shingle), matching _hash_shingles' padding. EMPTY texts are the one
+    documented divergence: the engine gives them an all-zeros minhash
+    signature / zero simhash while this CTE yields no shingle rows -- no
+    fixture contains empty documents, and callers feeding corpora with
+    empty rows must filter them before the oracle comparison."""
     P = 1099511628211
     M1 = 0xFF51AFD7ED558CCD
     M2 = 0xC4CEB9FE1A85EC53
@@ -306,7 +327,12 @@ def shingle_hash_oracle_sql(docs_cte: str, k: int) -> str:
         prev = f"__a{j + 1}"
     acc_chain = (",\n".join(acc_ctes) + ",\n") if acc_ctes else ""
     return f"""
-__docs AS ({docs_cte}),
+__docs AS (
+  SELECT id,
+         CASE WHEN length(text) > 0 AND length(text) < {k}
+              THEN rpad(text, {k}, ' ') ELSE text END AS text
+  FROM ({docs_cte})
+),
 __b AS (
   SELECT id, pos, CAST(ascii(substr(text, pos, 1)) AS UBIGINT) AS byte
   FROM (SELECT id, text, unnest(generate_series(1, length(text))) AS pos
@@ -480,7 +506,9 @@ def make_simhash_udf(shingle_k: int = 4):
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_k: int = 4,
                   max_bucket: int = 1000) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. The returned
+    (tiny) pair frame is persisted -- the signature cache is released before
+    returning; callers may unpersist the result when done.
 
     Pigeonhole: split 64 bits into max_hamming+1 blocks; any pair within the
     Hamming budget agrees exactly on >= 1 block, so block-equality buckets
@@ -597,7 +625,9 @@ def embedding_dup_pairs(
     """Pairs with cosine >= threshold via sign-LSH bucketing + exact verify.
 
     n_tables independent hyperplane tables keep recall high at tight
-    thresholds (a pair collides if it matches in ANY table)."""
+    thresholds (a pair collides if it matches in ANY table). The candidate
+    pair set stays persisted (it backs the returned verify join; the sketch
+    cache is released eagerly); callers may unpersist when done."""
     from pyspark.sql.types import DoubleType
 
     dim_probe = df.select(F.size(vec_col)).first()[0]

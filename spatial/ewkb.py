@@ -397,24 +397,30 @@ def _decode_group(vals: list[str]):
     n_ok = int(ok.sum())
     if n_ok == 0:
         return None, None
-    sel = mat[ok]
-    blocks = []
-    for off, npts, dims, fmt in cur.spans:
-        raw = sel[:, off : off + npts * dims * 8]
-        arr = np.ascontiguousarray(raw).view(fmt + "f8").reshape(n_ok, npts, dims)
-        blocks.append(arr if fmt == "<" else arr.astype("<f8"))
-    coords = np.concatenate(blocks, axis=1) if blocks else np.zeros((n_ok, 0, 4))
-    base = g0.as_row()
-    cols = {
-        "xs": list(coords[:, :, 0]),
-        "ys": list(coords[:, :, 1]),
-    }
-    k = 2
-    cols["zs"] = list(coords[:, :, k]) if g0.has_z else None
-    if g0.has_z:
-        k += 1
-    cols["ms"] = list(coords[:, :, k]) if g0.has_m else None
-    return (base, cols), ok
+    # everything below must fall back to the scalar parser on ANY surprise
+    # (e.g. mixed-dims nested elements produce unequal span widths): the
+    # codec contract is "malformed -> null row, never a raised batch"
+    try:
+        sel = mat[ok]
+        blocks = []
+        for off, npts, dims, fmt in cur.spans:
+            raw = sel[:, off : off + npts * dims * 8]
+            arr = np.ascontiguousarray(raw).view(fmt + "f8").reshape(n_ok, npts, dims)
+            blocks.append(arr if fmt == "<" else arr.astype("<f8"))
+        coords = np.concatenate(blocks, axis=1) if blocks else np.zeros((n_ok, 0, 4))
+        base = g0.as_row()
+        cols = {
+            "xs": list(coords[:, :, 0]),
+            "ys": list(coords[:, :, 1]),
+        }
+        k = 2
+        cols["zs"] = list(coords[:, :, k]) if g0.has_z else None
+        if g0.has_z:
+            k += 1
+        cols["ms"] = list(coords[:, :, k]) if g0.has_m else None
+        return (base, cols), ok
+    except Exception:
+        return None, None
 
 
 def _group_rows(base: dict, cols: dict, ok: np.ndarray) -> list:

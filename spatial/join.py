@@ -177,6 +177,7 @@ class SpatialJoinPlan:
         salt_buckets: int = 0,
         broadcast_max_bytes: int = 256 << 20,
         hot_cell_ratio: float = 0.01,
+        disable_constraint_propagation: bool = True,
     ):
         # Catalyst's constraint propagation rewrites the cell equi-join by
         # substituting the staged cell expression into inferred filter
@@ -184,9 +185,14 @@ class SpatialJoinPlan:
         # copies of the trig subtree), evaluated PER ROW: a 5x slowdown at
         # bench scale and unbounded at 10^12 rows. The inferred IsNotNull/
         # transitive predicates are worthless for this plan (keys are never
-        # null by construction), so turn the rule off for the session.
-        regions.sparkSession.conf.set(
-            "spark.sql.constraintPropagation.enabled", "false")
+        # null by construction), so the rule is turned off for the SESSION
+        # (it cannot be scoped per query: optimization happens at each
+        # action, long after this constructor). Callers who need inferred
+        # constraints elsewhere pass disable_constraint_propagation=False
+        # and set the conf around their own actions.
+        if disable_constraint_propagation:
+            regions.sparkSession.conf.set(
+                "spark.sql.constraintPropagation.enabled", "false")
         if level is None:
             level = pick_level(regions, geom_col)
         self.level = level

@@ -257,11 +257,19 @@ def st_isvalid_udf():
         valid = np.ones(nrows, dtype=bool)
         x, y = fb.flat_x, fb.flat_y
         rs, re_, rrow = fb.ring_starts, fb.ring_ends, fb.ring_row
-        # precheck: every ring closed with >= 4 points (incl. closure)
-        if len(rs):
+        # precheck: every ring closed with >= 4 points (incl. closure).
+        # Index clamping guards degenerate rings whose start sits at the end
+        # of the flat arrays (e.g. a trailing zero-point ring): such rings
+        # fail the size test regardless, so the clamped compare is inert.
+        if len(rs) and len(x) == 0:
+            valid[rrow] = False  # rings declared but no coordinates at all
+        elif len(rs):
+            hi = len(x) - 1
+            rs_c = np.minimum(rs, hi)
+            rl_c = np.minimum(np.maximum(re_ - 1, 0), hi)
             ok_ring = ((re_ - rs >= 4)
-                       & (x[rs] == x[np.maximum(re_ - 1, 0)])
-                       & (y[rs] == y[np.maximum(re_ - 1, 0)]))
+                       & (x[rs_c] == x[rl_c])
+                       & (y[rs_c] == y[rl_c]))
             np.logical_and.at(valid, rrow, ok_ring)
         # proper self-intersection over candidate rings: one batched call
         cand = np.nonzero(valid)[0]
@@ -462,25 +470,31 @@ class _FlatBatch:
         self.pair_valid = pv
         self.ring_last_pair = last
 
+    def _clamped_starts(self, n_elems: int) -> np.ndarray:
+        """row_starts[:-1] clamped into [0, n_elems-1] for reduceat: a
+        trailing EMPTY geometry makes its start == n_elems (out of bounds).
+        Clamping only ever touches rows with <= 1 point, whose reduceat
+        output is overwritten with the empty value afterwards; the clamp can
+        at most steal the appended sentinel from the previous segment."""
+        return np.minimum(self.row_starts[:-1], max(n_elems - 1, 0))
+
     def reduce_pairs(self, contrib: np.ndarray) -> np.ndarray:
         """Sum a per-pair contribution per row (invalid pairs zeroed),
         returning one value per non-null row."""
-        c = np.where(self.pair_valid, contrib, 0.0)
-        c = np.append(c, 0.0)  # sentinel: row_starts[-1] stays in bounds
-        starts = self.row_starts[:-1]
-        if len(starts) == 0:
+        if len(self.row_lens) == 0:
             return np.zeros(0)
-        out = np.add.reduceat(c, starts)
+        c = np.where(self.pair_valid, contrib, 0.0)
+        c = np.append(c, 0.0)  # sentinel: keeps starts in bounds
+        out = np.add.reduceat(c, self._clamped_starts(len(c)))
         out[self.row_lens <= 1] = 0.0  # 1-point rows own no pair
         return out
 
     def reduce_points(self, vals: np.ndarray) -> np.ndarray:
         """Sum a per-point value per row, one value per non-null row."""
-        starts = self.row_starts[:-1]
-        if len(starts) == 0:
+        if len(self.row_lens) == 0:
             return np.zeros(0)
         v = np.append(vals, 0.0)
-        out = np.add.reduceat(v, starts)
+        out = np.add.reduceat(v, self._clamped_starts(len(v)))
         out[self.row_lens == 0] = 0.0
         return out
 
@@ -700,10 +714,10 @@ def st_distance_udf():
         if nrows == 0:
             return fb.scatter(np.zeros(0))
         point_row = np.repeat(np.arange(nrows), fb.row_lens)
-        starts = fb.row_starts[:-1]
         # vertex distances (fallback + single-point rows)
         vd = np.hypot(pxv[point_row] - x, pyv[point_row] - y)
-        vmin = np.minimum.reduceat(np.append(vd, np.inf), starts)
+        vd_s = np.append(vd, np.inf)
+        vmin = np.minimum.reduceat(vd_s, fb._clamped_starts(len(vd_s)))
         vmin[fb.row_lens == 0] = np.nan
         # segment distances over every in-row pair
         if len(x) >= 2:
@@ -718,7 +732,8 @@ def st_distance_udf():
             t = np.clip(t, 0.0, 1.0)
             sd = np.hypot(qx - (ax + t * dx), qy - (ay + t * dy))
             sd = np.where(fb.pair_valid, sd, np.inf)
-            smin = np.minimum.reduceat(np.append(sd, np.inf), starts)
+            sd_s = np.append(sd, np.inf)
+            smin = np.minimum.reduceat(sd_s, fb._clamped_starts(len(sd_s)))
         else:
             smin = np.full(nrows, np.inf)
         n_valid_pairs = fb.reduce_pairs(

@@ -210,6 +210,7 @@ class KnnIndex:
 
         unresolved = q
         resolved_parts = []
+        cached = []  # intermediate persists, released after the final result
         r = max(2, init_r)
         for _ in range(max_rounds):
             disk = make_neighbors_disk(r)
@@ -238,10 +239,12 @@ class KnnIndex:
                 flags.where("done").select("query_id"), "query_id", "left_semi"
             ).persist()
             done_rows.count()
+            cached.append(done_rows)
             resolved_parts.append(done_rows)
             unresolved = unresolved.join(
                 flags.where("done").select("query_id"), "query_id", "left_anti"
             ).persist()
+            cached.append(unresolved)
             if unresolved.count() == 0:
                 break
             r *= 2
@@ -256,24 +259,36 @@ class KnnIndex:
                 .select("query_id", "id", "rank", "dist_m")
             )
             resolved_parts.append(brute)
-        q.unpersist()
         out = resolved_parts[0]
         for part in resolved_parts[1:]:
             out = out.union(part)
+        # materialize the (k x n_queries) result eagerly, then release every
+        # intermediate cache -- repeated calls must not accumulate cached
+        # frames for the session lifetime. The returned frame stays
+        # persisted (it IS the result); callers may unpersist it when done.
+        out = out.persist()
+        out.count()
+        for c in cached:
+            c.unpersist()
+        q.unpersist()
         return out
 
 
 def knn_join_distributed(points: DataFrame, queries: DataFrame, k: int,
                          level: int = 8, **cols) -> DataFrame:
-    """One-shot wrapper over KnnIndex.join_distributed."""
+    """One-shot wrapper over KnnIndex.join_distributed (the index cache is
+    released before returning -- join_distributed materializes its result
+    eagerly, so the lineage no longer needs it)."""
     idx = KnnIndex(points, level,
                    cols.get("point_x", "x"), cols.get("point_y", "y"),
                    cols.get("point_id", "id"))
-    return idx.join_distributed(
+    out = idx.join_distributed(
         queries, k,
         cols.get("query_x", "qx"), cols.get("query_y", "qy"),
         cols.get("query_id", "query_id"),
         cols.get("max_rounds", 3), cols.get("init_r", 2))
+    idx.unpersist()
+    return out
 
 
 def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int, **cols) -> DataFrame:

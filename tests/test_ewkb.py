@@ -223,3 +223,29 @@ def test_big_endian_encode_roundtrip():
         # BE and LE encodings decode to the same geometry
         le = decode_hex(encode_hex(g))
         assert [float(v) for v in le.xs] == [float(v) for v in back.xs]
+
+
+def test_grouped_decode_falls_back_on_mixed_dims_nested(spark):
+    """Regression (review r2): 4+ same-prefix MULTIPOINT rows whose nested
+    points have MIXED Z flags crashed the grouped template decode; it must
+    fall back to the scalar parser and decode every row."""
+    import struct
+
+    import pandas as pd
+
+    from spatial.ewkb import _decode_series, decode_hex
+
+    # multipoint with 2 nested points: first Z, second 2D (valid per parser)
+    hx_parts = [
+        "01", "04000000",            # LE, MultiPoint, no flags
+        "02000000",                  # 2 points
+        "01", "01000080", struct.pack("<3d", 1.0, 2.0, 3.0).hex(),  # Z point
+        "01", "01000000", struct.pack("<2d", 4.0, 5.0).hex(),       # 2D point
+    ]
+    hx = "".join(hx_parts)
+    assert decode_hex(hx) is not None  # scalar parser accepts it
+    out = _decode_series(pd.Series([hx] * 6))
+    assert len(out) == 6
+    for i in range(6):
+        assert out.iloc[i]["gtype"] == 4
+        assert list(out.iloc[i]["xs"]) == [1.0, 4.0]

@@ -345,3 +345,47 @@ def test_clip_bbox_multipolygon_parts_and_polygon_only(spark):
         st_clip_bbox_udf(-10.0, -10.0, 2.0, 10.0)(F.col("geom")).alias("c")
     ).first()["c"]
     assert out1["part_offsets"] == [0, 1]
+
+
+def test_measure_kernels_survive_empty_geometries(spark):
+    """Regression (review r2): a trailing EMPTY geometry made reduceat's
+    sentinel one short and crashed the whole Arrow batch; empty rows must
+    yield 0/None like the scalar kernels did."""
+    from pyspark.sql import functions as F
+
+    from spatial.geometry import GEOMETRY
+    from spatial.kernels import (st_area_udf, st_distance_udf, st_isvalid_udf,
+                                 st_length_udf)
+
+    square = {
+        "gtype": 3, "srid": None, "has_z": False, "has_m": False,
+        "xs": [0.0, 2.0, 2.0, 0.0, 0.0], "ys": [0.0, 0.0, 2.0, 2.0, 0.0],
+        "zs": None, "ms": None, "ring_offsets": [0, 5], "part_offsets": [0, 1],
+    }
+    empty = {
+        "gtype": 2, "srid": None, "has_z": False, "has_m": False,
+        "xs": [], "ys": [], "zs": None, "ms": None,
+        "ring_offsets": [0], "part_offsets": [0],
+    }
+    empty_ring = {  # decodable: second ring has zero points
+        "gtype": 3, "srid": None, "has_z": False, "has_m": False,
+        "xs": [0.0, 1.0, 1.0, 0.0], "ys": [0.0, 0.0, 1.0, 0.0],
+        "zs": None, "ms": None, "ring_offsets": [0, 4, 4],
+        "part_offsets": [0, 2],
+    }
+    df = spark.createDataFrame(
+        [(1, square), (2, empty), (3, empty_ring)],
+        f"id long, geom {GEOMETRY.simpleString()}")
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        st_area_udf()(F.col("geom")).alias("area"),
+        st_length_udf()(F.col("geom")).alias("length"),
+        st_isvalid_udf()(F.col("geom")).alias("ok"),
+        st_distance_udf()(F.lit(5.0), F.lit(0.0), F.col("geom")).alias("d"),
+    ).collect()}
+    assert rows[1]["area"] == 4.0 and rows[1]["ok"] is True
+    assert rows[1]["d"] == 3.0
+    assert rows[2]["area"] == 0.0 and rows[2]["length"] == 0.0
+    import math
+    assert rows[2]["d"] is None or math.isnan(rows[2]["d"])
+    assert rows[3]["ok"] is False  # zero-point ring fails the size check
