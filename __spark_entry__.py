@@ -146,6 +146,27 @@ def q_union_distinct_users(spark, sf_dir):
     return a.union(b).distinct().orderBy("user_id")
 
 
+def q_semi_join_orders(spark, sf_dir):
+    """left_semi join (EXISTS shape): orders that have at least one
+    lineitem -- the complement of q_anti_join_delta."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        o.join(li.select(F.col("l_orderkey").alias("o_orderkey")),
+               "o_orderkey", "left_semi")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q_intersect_users(spark, sf_dir):
+    """INTERSECT set op: users appearing in BOTH the high-value and the
+    click event populations."""
+    ev = _events(spark, sf_dir)
+    a = ev.where(F.col("value") > 50.0).select("user_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id")
+    return a.intersect(b).orderBy("user_id")
+
+
 def q_sessionize(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _events(spark, sf_dir)
@@ -1018,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_topk_orders": q_window_topk_orders,
         "q_anti_join_delta": q_anti_join_delta,
         "q_union_distinct_users": q_union_distinct_users,
+        "q_semi_join_orders": q_semi_join_orders,
+        "q_intersect_users": q_intersect_users,
         "q_sessionize": q_sessionize,
         "q_tile_assign": q_tile_assign,
         "q_tile_rollup": q_tile_rollup,
@@ -1165,6 +1188,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id FROM events WHERE value > 50.0
               UNION ALL
               SELECT user_id FROM events WHERE event_type = 'click')
+            ORDER BY user_id""",
+        "q_semi_join_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)""",
+        "q_intersect_users": """
+            SELECT user_id FROM events WHERE value > 50.0
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'click'
             ORDER BY user_id""",
         "q_sessionize": """
             SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
