@@ -146,6 +146,34 @@ def q_union_distinct_users(spark, sf_dir):
     return a.union(b).distinct().orderBy("user_id")
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_counts(spark, sf_dir):
+    """Pivot (conditional aggregation shape): per-user event counts fanned
+    out to one column per event type. Fixed column set so the schema is
+    deterministic; counts are integer-exact."""
+    ev = _events(spark, sf_dir)
+    aggs = [F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in EVENT_TYPES]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles (median + p90 of value per event type): Spark's
+    percentile() and DuckDB's quantile_cont use the same linear
+    interpolation ((1-g)*a + g*b over the sorted values); round(6) absorbs
+    any ulp difference in the interpolation arithmetic."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+             F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def q_semi_join_orders(spark, sf_dir):
     """left_semi join (EXISTS shape): orders that have at least one
     lineitem -- the complement of q_anti_join_delta."""
@@ -1039,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_topk_orders": q_window_topk_orders,
         "q_anti_join_delta": q_anti_join_delta,
         "q_union_distinct_users": q_union_distinct_users,
+        "q_pivot_event_counts": q_pivot_event_counts,
+        "q_value_percentiles": q_value_percentiles,
         "q_semi_join_orders": q_semi_join_orders,
         "q_intersect_users": q_intersect_users,
         "q_sessionize": q_sessionize,
@@ -1189,6 +1219,20 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT user_id FROM events WHERE event_type = 'click')
             ORDER BY user_id""",
+        "q_pivot_event_counts": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id""",
+        "q_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "q_semi_join_orders": """
             SELECT o_orderkey, o_custkey FROM orders
             WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)""",
