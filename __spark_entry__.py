@@ -149,6 +149,20 @@ def q_union_distinct_users(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_month_revenue(spark, sf_dir):
+    """Date-function breadth: month-truncated revenue rollup (date_trunc +
+    extract, decimal-exact sums)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+                  F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+             .alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
 def q_pivot_event_counts(spark, sf_dir):
     """Pivot (conditional aggregation shape): per-user event counts fanned
     out to one column per event type. Fixed column set so the schema is
@@ -1067,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_topk_orders": q_window_topk_orders,
         "q_anti_join_delta": q_anti_join_delta,
         "q_union_distinct_users": q_union_distinct_users,
+        "q_month_revenue": q_month_revenue,
         "q_pivot_event_counts": q_pivot_event_counts,
         "q_value_percentiles": q_value_percentiles,
         "q_semi_join_orders": q_semi_join_orders,
@@ -1219,6 +1234,13 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT user_id FROM events WHERE event_type = 'click')
             ORDER BY user_id""",
+        "q_month_revenue": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1, 2""",
         "q_pivot_event_counts": """
             SELECT user_id,
                    COUNT(*) FILTER (event_type = 'click') AS n_click,
