@@ -149,6 +149,28 @@ def q_union_distinct_users(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_json_props(spark, sf_dir):
+    """JSON scalar-function breadth: extract the numeric `k` field from the
+    events props JSON column (get_json_object vs json_extract_string --
+    integer-exact)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"))
+
+
+def q_string_funcs(spark, sf_dir):
+    """String scalar-function breadth: levenshtein (classic DP, integer-
+    exact in both engines), upper/reverse/substring/length composition."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.levenshtein(F.col("event_type"), F.lit("click")).cast("long").alias("lev"),
+        F.upper(F.reverse(F.col("event_type"))).alias("rev_upper"),
+        F.substring(F.col("event_type"), 2, 3).alias("mid"),
+        F.length(F.col("event_type")).cast("long").alias("n_chars"))
+
+
 def q_month_revenue(spark, sf_dir):
     """Date-function breadth: month-truncated revenue rollup (date_trunc +
     extract, decimal-exact sums)."""
@@ -1081,6 +1103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_topk_orders": q_window_topk_orders,
         "q_anti_join_delta": q_anti_join_delta,
         "q_union_distinct_users": q_union_distinct_users,
+        "q_json_props": q_json_props,
+        "q_string_funcs": q_string_funcs,
         "q_month_revenue": q_month_revenue,
         "q_pivot_event_counts": q_pivot_event_counts,
         "q_value_percentiles": q_value_percentiles,
@@ -1234,6 +1258,17 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT user_id FROM events WHERE event_type = 'click')
             ORDER BY user_id""",
+        "q_json_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events""",
+        "q_string_funcs": """
+            SELECT event_id,
+                   CAST(levenshtein(event_type, 'click') AS BIGINT) AS lev,
+                   upper(reverse(event_type)) AS rev_upper,
+                   substring(event_type, 2, 3) AS mid,
+                   CAST(length(event_type) AS BIGINT) AS n_chars
+            FROM events""",
         "q_month_revenue": """
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
