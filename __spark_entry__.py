@@ -149,6 +149,20 @@ def q_union_distinct_users(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_array_funcs(spark, sf_dir):
+    """Array scalar-function breadth over the embedding column: size/min/
+    max/first/last are pure value MOVEMENT (no float arithmetic), so f32
+    values widen identically in both engines -- exact."""
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.array_min("embedding").cast("double").alias("vmin"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.element_at("embedding", 1).cast("double").alias("first"),
+        F.element_at("embedding", -1).cast("double").alias("last"))
+
+
 def q_json_props(spark, sf_dir):
     """JSON scalar-function breadth: extract the numeric `k` field from the
     events props JSON column (get_json_object vs json_extract_string --
@@ -1103,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_topk_orders": q_window_topk_orders,
         "q_anti_join_delta": q_anti_join_delta,
         "q_union_distinct_users": q_union_distinct_users,
+        "q_array_funcs": q_array_funcs,
         "q_json_props": q_json_props,
         "q_string_funcs": q_string_funcs,
         "q_month_revenue": q_month_revenue,
@@ -1258,6 +1273,14 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT user_id FROM events WHERE event_type = 'click')
             ORDER BY user_id""",
+        "q_array_funcs": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   CAST(list_min(embedding) AS DOUBLE) AS vmin,
+                   CAST(list_max(embedding) AS DOUBLE) AS vmax,
+                   CAST(embedding[1] AS DOUBLE) AS first,
+                   CAST(embedding[-1] AS DOUBLE) AS last
+            FROM embeddings""",
         "q_json_props": """
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
