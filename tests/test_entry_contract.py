@@ -67,6 +67,32 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_documented_counts_match_registry():
+    """One source of truth, enforced (VERDICT r2 task #8): the query count
+    claimed in COVERAGE.md / BENCH/BASELINE.md / README.md must equal
+    len(queries()) == len(oracle_sql()). Counts drifted twice in round 2
+    before being hand-resynced; this pins them."""
+    import pathlib
+    import re
+
+    n = len(entry_mod.queries())
+    assert n == len(entry_mod.oracle_sql()), \
+        "every queries() entry needs an oracle_sql() entry (and vice versa)"
+    root = pathlib.Path(__file__).resolve().parent.parent
+    claims = {
+        "COVERAGE.md": r"\*\*Totals:\*\* (\d+) `queries\(\)` entries, "
+                       r"\*\*(\d+) with exact DuckDB oracles\*\*",
+        "BENCH/BASELINE.md": r"(\d+) queries, \*\*(\d+) with exact DuckDB",
+        "README.md": r"\*\*(\d+) driver queries",
+    }
+    for rel, pat in claims.items():
+        text = (root / rel).read_text()
+        m = re.search(pat, text)
+        assert m, f"{rel}: count claim line not found (pattern {pat!r})"
+        for g in m.groups():
+            assert int(g) == n, f"{rel} claims {g} queries, registry has {n}"
+
+
 @pytest.mark.parametrize("name", sorted(set(entry_mod.queries())
                                         - set(entry_mod.oracle_sql())))
 def test_rows_only_queries_run(spark, name):
