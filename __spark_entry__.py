@@ -645,14 +645,18 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction with REAL decoding for every kind:
     BMP images, AU01 PCM audio, VI01 frame-sequence video (decode /
     feature-extract / resize / frame-sample all from-scratch NumPy, no
-    codec library). Oracle: the payload-independent contract (kind cycle,
-    fixed feat_dim, decode_ok true for all decodable rows) in closed-form
-    SQL; kernel exactness pinned by tests/test_datapipe.py round-trips."""
+    codec library). Oracle: the feature VALUES, exploded to one (media_id,
+    bin, p) row per histogram bin -- the seeded pre-encode pixel/sample
+    arrays are inlined as integer SQL literals and the histogram featurizer
+    is replayed in pure DuckDB arithmetic for all three kinds
+    (multimodal.media_features_oracle_sql documents the exact-ratio float
+    parity argument)."""
     from spatial.datapipe.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 120)
     return extract_features(media, fake_decode=False).select(
-        "media_id", "kind", "feat_dim", "decode_ok")
+        "media_id", "kind", "decode_ok",
+        F.posexplode("feat").alias("bin", "p"))
 
 
 # ---------------------------------------------------------------------------
@@ -1222,6 +1226,12 @@ def _spatial_join_oracle() -> str:
     return spatial_join_oracle_sql(2000)
 
 
+def _multimodal_oracle() -> str:
+    from spatial.datapipe.multimodal import media_features_oracle_sql
+
+    return media_features_oracle_sql(120)
+
+
 def _minhash_oracle() -> str:
     from spatial.datapipe.dedup import minhash_pairs_oracle_sql
 
@@ -1652,14 +1662,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_pairs": _minhash_oracle(),
         "q_simhash_pairs": _simhash_oracle(),
         "q_embedding_dups": _embedding_dups_oracle(),
-        "q_multimodal_features": """
-            SELECT CAST(i AS BIGINT) AS media_id,
-                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                              ELSE 'video' END AS kind,
-                   CAST(16 AS INT) AS feat_dim,
-                   TRUE AS decode_ok
-            FROM (SELECT unnest(generate_series(0, 119)) AS i)
-        """,
+        "q_multimodal_features": _multimodal_oracle(),
         "q_ann_ivf": f"""
             WITH base AS (
               SELECT vec_id,

@@ -276,6 +276,27 @@ def extract_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def _synth_media_draws(n: int, seed: int = 42):
+    """The seeded ground-truth arrays behind synth_media, BEFORE encoding:
+    (i, kind, array) with image -> (16,16) uint8 gray, audio -> s16 samples,
+    video -> list of (12,12) uint8 gray frames. Shared by the table builder
+    and the driver-oracle renderer so the oracle's inlined literals are the
+    pre-encode ground truth (never the engine decoders' output)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        k = kinds[i % 3]
+        if k == "image":
+            yield i, k, rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        elif k == "audio":
+            n_samp = int(rng.integers(200, 800))
+            yield i, k, rng.integers(-32768, 32768, n_samp).astype("<i2")
+        else:
+            n_frames = 3 + i % 4
+            yield i, k, [rng.integers(0, 256, (12, 12), dtype=np.uint8)
+                         for _ in range(n_frames)]
+
+
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table exercising the schema + batch path.
 
@@ -283,25 +304,82 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     image = 16x16 24-bit BMP; audio = AU01 s16 PCM; video = VI01 sequence of
     (3 + i % 4) BMP frames. The full decode / feature-extract / resize /
     frame-sample pipeline therefore runs genuinely end-to-end."""
-    rng = np.random.default_rng(seed)
     rows = []
-    kinds = ["image", "audio", "video"]
     mimes = {"image": "image/bmp", "audio": "audio/x-au01",
              "video": "video/x-vi01"}
-    for i in range(n):
-        k = kinds[i % 3]
+    for i, k, arr in _synth_media_draws(n, seed):
         if k == "image":
-            payload = encode_bmp(rng.integers(0, 256, (16, 16), dtype=np.uint8))
+            payload = encode_bmp(arr)
         elif k == "audio":
-            n_samp = int(rng.integers(200, 800))
-            payload = encode_audio(
-                rng.integers(-32768, 32768, n_samp).astype("<i2"))
+            payload = encode_audio(arr)
         else:
-            n_frames = 3 + i % 4
-            frames = [encode_bmp(rng.integers(0, 256, (12, 12), dtype=np.uint8))
-                      for _ in range(n_frames)]
-            payload = encode_video(frames)
+            payload = encode_video([encode_bmp(f) for f in arr])
         rows.append((i, k, payload,
                      {"mime": mimes[k], "width": 16, "height": 16,
                       "duration_ms": 1000 if k != "image" else None}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_features_oracle_sql(n: int, seed: int = 42) -> str:
+    """Ground-truth DuckDB replay of extract_features over synth_media:
+    verifies the feature VALUES, not just the contract (VERDICT r2 task #4).
+
+    The seeded pre-encode pixel/sample arrays are inlined as INTEGER
+    literals -- they never pass through the engine's decoders, so the oracle
+    checks encode -> decode -> featurize end to end -- and the histogram
+    featurizer is replayed in pure SQL arithmetic for ALL THREE kinds.
+
+    Every decoded value is an exact integer ratio iv/divisor:
+    * image: gray pixels themselves (24-bit BMP luma round-trips exactly:
+      floor(.114g+.587g+.299g+.5) == g, error is ulp-scale vs the 0.5
+      margin), divisor 1;
+    * audio: (sample+32768)/256 -- divisor a power of two, exact;
+    * video: frame_sample picks indices (arange(4)*n)//4 uniq'd, resize_gray
+      selects integer pixels (index arithmetic only), np.mean sums <= 6
+      small ints (exact in float64) then divides by k -- so iv = the integer
+      pixel SUM across sampled frames, divisor k.
+    Binning floor(v/16) is a power-of-two divide (no rounding; equals
+    np.histogram's x*(16/256) fast path bit-for-bit) and p = cnt/total is a
+    single correctly-rounded IEEE division of small ints -- every value is
+    reproducible bit-exact per the float-parity policy."""
+    rows = []
+    for i, k, arr in _synth_media_draws(n, seed):
+        if k == "image":
+            ivals = arr.astype(np.int64).ravel().tolist()
+            div = 1
+        elif k == "audio":
+            ivals = (arr.astype(np.int64) + 32768).tolist()
+            div = 256
+        else:
+            idx = np.unique((np.arange(4) * len(arr)) // 4)
+            ri = np.minimum((np.arange(8) * 12) // 8, 11)
+            sel = [arr[j].astype(np.int64)[ri][:, ri] for j in idx]
+            ivals = np.sum(sel, axis=0).ravel().tolist()
+            div = len(sel)
+        rows.append(f"({i}, '{k}', {div}, "
+                    f"[{','.join(map(str, ivals))}])")
+    values = ",\n".join(rows)
+    return f"""
+WITH __m(media_id, kind, divisor, ivals) AS (VALUES
+{values}
+),
+__v AS (
+  SELECT media_id, CAST(unnest(ivals) AS DOUBLE) / CAST(divisor AS DOUBLE) AS v
+  FROM __m
+),
+__h AS (
+  SELECT media_id, LEAST(CAST(FLOOR(v / 16.0) AS INT), 15) AS bin,
+         COUNT(*) AS cnt
+  FROM __v GROUP BY media_id, bin
+),
+__t AS (SELECT media_id, COUNT(*) AS total FROM __v GROUP BY media_id),
+__full AS (
+  SELECT m.media_id, m.kind, b.bin, COALESCE(h.cnt, 0) AS cnt, t.total
+  FROM __m m
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+  LEFT JOIN __h h ON h.media_id = m.media_id AND h.bin = b.bin
+  JOIN __t t ON t.media_id = m.media_id
+)
+SELECT media_id, kind, CAST(bin AS INT) AS bin,
+       CAST(cnt AS DOUBLE) / total AS p, TRUE AS decode_ok
+FROM __full"""
