@@ -551,6 +551,36 @@ def q_spatial_join_salted(spark, sf_dir):
                      hot_cells=hot).select("url", "region_id")
 
 
+def q_geom_collection(spark, sf_dir):
+    """GeometryCollection (WKB 7) decode + flatten -- parity-plus over the
+    reference, which ``error``s on code 7 (Serialize.hs:164). 300 mixed
+    collections (point + linestring + triangle, coordinates closed-form in
+    the id) are encoded to hex driver-side, decoded + exploded by the Spark
+    UDF; the oracle re-derives every exploded row from the same integer
+    closed form in pure SQL (integer-valued doubles -- exact)."""
+    from spatial.ewkb import encode_collection_hex, ewkb_decode_collection
+    from spatial.geometry import linestring, point, polygon
+
+    rows = []
+    for i in range(300):
+        x, y = float(i % 50), float((i * 7) % 40)
+        children = [
+            point(x, y),
+            linestring([(x, y), (x + 1.0, y + 2.0), (x + 3.0, y + 1.0)]),
+            polygon([[(x, y), (x + 4.0, y), (x, y + 4.0), (x, y)]]),
+        ]
+        rows.append((i, encode_collection_hex(children, srid=4326)))
+    df = spark.createDataFrame(rows, "id long, hex string")
+    part = F.posexplode(ewkb_decode_collection(F.col("hex")))
+    return (
+        df.select("id", part.alias("part_idx", "g"))
+        .select("id", "part_idx", F.col("g.gtype").alias("gtype"),
+                F.col("g.srid").alias("srid"),
+                F.size("g.xs").alias("n_coords"),
+                F.col("g.xs")[0].alias("x0"), F.col("g.ys")[0].alias("y0"))
+    )
+
+
 def q_geocode_rollup(spark, sf_dir):
     """Geocode source rollup. Oracle: geocode LOGIC (coord regex + bounds,
     longest-first city alternation, ccTLD centroid) replayed in DuckDB over
@@ -1160,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geocode_rollup": q_geocode_rollup,
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_multimodal_features": q_multimodal_features,
+        "q_geom_collection": q_geom_collection,
         "q1_pricing_summary": q1_pricing_summary,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_window_topk_orders": q_window_topk_orders,
@@ -1663,6 +1694,18 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_pairs": _simhash_oracle(),
         "q_embedding_dups": _embedding_dups_oracle(),
         "q_multimodal_features": _multimodal_oracle(),
+        "q_geom_collection": """
+            SELECT i AS id, part_idx,
+                   CAST(CASE part_idx WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END
+                        AS INT) AS gtype,
+                   CAST(4326 AS INT) AS srid,
+                   CAST(CASE part_idx WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                        AS INT) AS n_coords,
+                   CAST(i % 50 AS DOUBLE) AS x0,
+                   CAST((i * 7) % 40 AS DOUBLE) AS y0
+            FROM (SELECT unnest(generate_series(0, 299)) AS i)
+            CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS part_idx)
+        """,
         "q_ann_ivf": f"""
             WITH base AS (
               SELECT vec_id,

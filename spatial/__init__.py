@@ -29,12 +29,16 @@ from .geometry import (  # noqa: F401
     multipolygon,
 )
 from .ewkb import (  # noqa: F401
+    decode_collection_hex,
     decode_hex,
     decode_wkb,
+    encode_collection_hex,
     encode_hex,
     encode_geom,
     ewkb_decode,
+    ewkb_decode_collection,
     ewkb_encode,
+    ewkb_encode_collection,
     ewkb_encode_reference_compat,
 )
 

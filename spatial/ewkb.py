@@ -50,6 +50,7 @@ from .geometry import (
     EWKB_TYPE_MASK,
     GEOMETRY,
     GEOMETRY_FIELDS,
+    GEOMETRYCOLLECTION,
     LINESTRING,
     MULTILINESTRING,
     MULTIPOINT,
@@ -206,6 +207,64 @@ def decode_wkb(buf: bytes) -> Optional[Geom]:
         return _parse(_Cursor(bytes(buf)))
     except Exception:
         return None
+
+
+# -- GeometryCollection (WKB 7) -- parity-plus over the reference ------------
+
+def _parse_many(c: _Cursor) -> list[Geom]:
+    """Parse the geometry at the cursor into a flat list: a collection
+    yields its children (nested collections flattened), anything else a
+    single-element list. Children without their own SRID inherit the
+    collection header's (PostGIS stamps SRID on the top header only)."""
+    save = c.off
+    fmt, gtype, _hz, _hm, srid = _read_header(c)
+    if gtype != GEOMETRYCOLLECTION:
+        c.off = save
+        return [_parse(c)]
+    n = _read_count(c, fmt)
+    out: list[Geom] = []
+    for _ in range(n):
+        out.extend(_parse_many(c))
+    if srid is not None:
+        for g in out:
+            if g.srid is None:
+                g.srid = srid
+    return out
+
+
+def decode_collection_hex(hex_str: str) -> Optional[list[Geom]]:
+    """hex-(E)WKB -> flat list of Geom. Collections (WKB 7, which the
+    reference ``error``s on, Serialize.hs:164) flatten to their children --
+    the per-child ``gtype`` field IS the part-kind array; a non-collection
+    input yields a one-element list. None on malformed input."""
+    if hex_str is None:
+        return None
+    try:
+        buf = bytes.fromhex(hex_str)
+        c = _Cursor(buf)
+        out = _parse_many(c)
+        if c.off != len(buf):
+            raise ValueError("trailing bytes")
+        return out
+    except Exception:
+        return None
+
+
+def encode_collection_hex(geoms: list, srid: Optional[int] = None,
+                          endian: str = "little") -> str:
+    """list of Geom -> hex GEOMETRYCOLLECTION (WKB 7). SRID flag on the
+    collection header only; children are encoded SRID-free (standard
+    PostGIS nesting, same rule ewkb_encode applies to Multi* parts)."""
+    import dataclasses
+
+    fmt = "<" if endian == "little" else ">"
+    out = bytearray(
+        _header_bytes(GEOMETRYCOLLECTION, srid, False, False, True, fmt))
+    out += struct.pack(fmt + "I", len(geoms))
+    for g in geoms:
+        out += encode_geom(dataclasses.replace(g, srid=None), "standard",
+                           endian)
+    return bytes(out).hex()
 
 
 # -- encode ----------------------------------------------------------------
@@ -532,3 +591,42 @@ def ewkb_encode(geom: pd.DataFrame) -> pd.Series:
 def ewkb_encode_reference_compat(geom: pd.DataFrame) -> pd.Series:
     """Like ewkb_encode but reproducing the reference's wire quirks."""
     return _encode_frame(geom, "reference")
+
+
+def ewkb_decode_collection(col):
+    """hex-(E)WKB column -> array<GEOMETRY> column: WKB 7 collections
+    flatten to their children (nested collections recursively); plain
+    geometries become one-element arrays; malformed rows null. The
+    per-element ``gtype`` is the part-kind array, so downstream plans
+    explode + filter by kind with plain array/posexplode ops."""
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(GEOMETRY))
+    def dec(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            gs = decode_collection_hex(v) if isinstance(v, str) else None
+            out.append(None if gs is None else [g.as_row() for g in gs])
+        return pd.Series(out)
+
+    return dec(col)
+
+
+def ewkb_encode_collection(col, srid=None):
+    """array<GEOMETRY> column -> hex GEOMETRYCOLLECTION (WKB 7) column."""
+
+    @pandas_udf(StringType())
+    def enc(s: pd.Series) -> pd.Series:
+        out = []
+        for items in s:
+            if items is None:
+                out.append(None)
+                continue
+            geoms = [_row_to_geom(r) for r in items]
+            if any(g is None for g in geoms):
+                out.append(None)
+            else:
+                out.append(encode_collection_hex(geoms, srid))
+        return pd.Series(out)
+
+    return enc(col)

@@ -63,6 +63,11 @@ POLYGON = 3
 MULTIPOINT = 4
 MULTILINESTRING = 5
 MULTIPOLYGON = 6
+# WKB 7: not a 7th leaf kind -- a collection decodes to an ARRAY of GEOMETRY
+# structs (ewkb.decode_collection_hex), since one struct row holds one
+# homogeneous simple feature. The reference ``error``s on code 7
+# (Serialize.hs:164); the engine round-trips it (parity-plus).
+GEOMETRYCOLLECTION = 7
 
 GTYPE_NAMES = {
     POINT: "Point",

@@ -249,3 +249,69 @@ def test_grouped_decode_falls_back_on_mixed_dims_nested(spark):
     for i in range(6):
         assert out.iloc[i]["gtype"] == 4
         assert list(out.iloc[i]["xs"]) == [1.0, 4.0]
+
+
+def test_geometry_collection_roundtrip():
+    """WKB 7 (the reference errors, Serialize.hs:164): encode a mixed
+    collection, decode back to the flat child list with per-child gtype as
+    the part-kind array; SRID inherited from the collection header."""
+    from spatial.ewkb import decode_collection_hex, encode_collection_hex
+
+    children = [
+        point(1.5, -2.25),
+        linestring([(0.0, 0.0), (3.0, 4.0), (5.0, 6.0)]),
+        polygon([[(0, 0), (4, 0), (4, 4), (0, 0)], [(1, 1), (2, 1), (1, 2), (1, 1)]]),
+        multipoint([(7.0, 8.0), (9.0, 10.0)]),
+    ]
+    hx = encode_collection_hex(children, srid=4326)
+    assert hx.startswith("0107000020e6100000")  # LE, type 7, SRID flag, 4326
+    back = decode_collection_hex(hx)
+    assert [g.gtype for g in back] == [1, 2, 3, 4]
+    assert all(g.srid == 4326 for g in back)
+    for orig, got in zip(children, back):
+        assert [float(v) for v in got.xs] == [float(v) for v in orig.xs]
+        assert [float(v) for v in got.ys] == [float(v) for v in orig.ys]
+        assert list(got.ring_offsets) == list(orig.ring_offsets)
+        assert list(got.part_offsets) == list(orig.part_offsets)
+    # nested collection flattens recursively
+    inner = encode_collection_hex([point(11.0, 12.0)])
+    nested = encode_collection_hex(children[:1]) 
+    import struct as _s
+    outer = ("01" + "07000000" + _s.pack("<I", 2).hex()
+             + nested + inner)
+    flat = decode_collection_hex(outer)
+    assert [g.gtype for g in flat] == [1, 1]
+    assert flat[1].xs == [11.0]
+    # non-collection input -> one-element list; malformed -> None
+    assert [g.gtype for g in decode_collection_hex(encode_hex(point(1, 2)))] == [1]
+    assert decode_collection_hex("0107000000ff") is None
+    assert decode_collection_hex(None) is None
+    # single-struct decode still nulls code 7 (one row can't hold a mix)
+    assert decode_hex(hx) is None
+
+
+def test_geometry_collection_spark_udf(spark):
+    from spatial.ewkb import (decode_collection_hex, encode_collection_hex,
+                              ewkb_decode_collection, ewkb_encode_collection)
+
+    rows = [
+        (0, encode_collection_hex([point(1.0, 2.0),
+                                   linestring([(0.0, 1.0), (2.0, 3.0)])],
+                                  srid=4326)),
+        (1, encode_hex(point(5.0, 6.0, srid=3857))),  # plain geom -> 1 child
+        (2, "deadbeef"),                              # malformed -> null
+    ]
+    df = spark.createDataFrame(rows, "id long, hex string")
+    out = (df.withColumn("parts", ewkb_decode_collection(F.col("hex")))
+             .select("id", F.col("parts.gtype").alias("kinds"),
+                     F.size("parts").alias("n"), "parts")
+             .orderBy("id").collect())
+    assert list(out[0]["kinds"]) == [1, 2] and out[0]["n"] == 2
+    assert list(out[1]["kinds"]) == [1]
+    assert out[2]["kinds"] is None
+    # Spark-side re-encode round-trips byte-identically for the collection row
+    enc = (df.where("id = 0")
+             .withColumn("parts", ewkb_decode_collection(F.col("hex")))
+             .withColumn("hex2", ewkb_encode_collection(F.col("parts"), srid=4326))
+             .first())
+    assert enc["hex2"] == enc["hex"]
