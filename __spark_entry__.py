@@ -502,6 +502,21 @@ def q_knn_grid(spark, sf_dir):
                       F.round("dist_m", 6).alias("dist_m"))
 
 
+def q_knn_distributed(spark, sf_dir):
+    """KnnIndex.join_distributed -- the distributed-query-side kNN path
+    (round control = one scalar count per round, no per-query collect;
+    formerly pytest-pinned only). Contract: equality with brute-force
+    haversine kNN, so the oracle is the identical SQL as q_knn_grid; the
+    round(6) float-parity argument in q_knn_grid's docstring applies."""
+    from spatial.knn import knn_join_distributed
+
+    ev = _events(spark, sf_dir).select("event_id", _lon().alias("x"), _lat().alias("y"))
+    qdf = spark.createDataFrame(KNN_QUERIES, "query_id long, qx double, qy double")
+    out = knn_join_distributed(ev, qdf, k=5, level=6, point_id="event_id")
+    return out.select("query_id", "id", "rank",
+                      F.round("dist_m", 6).alias("dist_m"))
+
+
 def q_spatial_join_pages(spark, sf_dir):
     """Flagship spatial join on the synthetic pages corpus. Oracle: the
     direct quantifier-free spec -- geocode replayed in SQL, then an even-odd
@@ -799,14 +814,13 @@ def q_jaccard_chars(spark, sf_dir):
     )
 
 
-def q_st_area(spark, sf_dir):
-    """Planar area kernel on a per-event square ring with side
-    a = 1 + (event_id % 100)/100; area = a^2 has <= 4 decimal digits, so
-    round(6) absorbs summation-order ulps with huge margin."""
-    from spatial.kernels import st_area_udf
+def _square_ring():
+    """Per-event square polygon struct with side a = 1 + (event_id%100)/100
+    anchored at the integer-derived (lon, lat) -- shared by q_st_area and
+    q_sqlapi_funcs so their oracles stay one formula."""
     x, y = _lon(), _lat()
     a = F.lit(1.0) + (F.col("event_id") % 100).cast("double") / 100.0
-    ring = F.struct(
+    return F.struct(
         F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
         F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
         F.array(x, x + a, x + a, x, x).alias("xs"),
@@ -816,9 +830,37 @@ def q_st_area(spark, sf_dir):
         F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
         F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
     )
+
+
+def q_st_area(spark, sf_dir):
+    """Planar area kernel on a per-event square ring with side
+    a = 1 + (event_id % 100)/100; area = a^2 has <= 4 decimal digits, so
+    round(6) absorbs summation-order ulps with huge margin."""
+    from spatial.kernels import st_area_udf
     ev = _events(spark, sf_dir)
     return ev.select(
-        "event_id", F.round(st_area_udf()(ring), 6).alias("area"))
+        "event_id", F.round(st_area_udf()(_square_ring()), 6).alias("area"))
+
+
+def q_sqlapi_funcs(spark, sf_dir):
+    """The PostGIS-named spark.sql surface (sqlapi.register_sql_functions,
+    formerly pytest-pinned only) driven end to end: encode the q_st_area
+    square ring to hex, then compute area + srid + geometry kind purely in
+    SQL through the registered st_geomfromewkb/st_area/st_astext functions.
+    Oracle: the same closed-form area as q_st_area plus constants."""
+    from spatial.sqlapi import register_sql_functions
+
+    register_sql_functions(spark)
+    ev = _events(spark, sf_dir)
+    ev.select("event_id", ewkb_encode(_square_ring()).alias("hex")) \
+        .createOrReplaceTempView("__sqlapi_geo")
+    return spark.sql("""
+        SELECT event_id,
+               round(st_area(st_geomfromewkb(hex)), 6) AS area,
+               st_geomfromewkb(hex).srid AS srid,
+               substring(st_astext(st_geomfromewkb(hex)), 1, 17) AS kind
+        FROM __sqlapi_geo
+    """)
 
 
 def q_st_length(spark, sf_dir):
@@ -1183,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spatial_join_pages": q_spatial_join_pages,
         "q_spatial_join_salted": q_spatial_join_salted,
         "q_knn_grid": q_knn_grid,
+        "q_knn_distributed": q_knn_distributed,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_dups": q_embedding_dups,
@@ -1191,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_multimodal_features": q_multimodal_features,
         "q_geom_collection": q_geom_collection,
+        "q_sqlapi_funcs": q_sqlapi_funcs,
         "q1_pricing_summary": q1_pricing_summary,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_window_topk_orders": q_window_topk_orders,
@@ -1310,6 +1354,25 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {q} AS query_id, {x!r} AS qx, {y!r} AS qy"
         for q, x, y in KNN_QUERIES
     )
+    knn_brute_oracle = f"""
+        WITH pts AS (SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y FROM events),
+        qs AS ({knn_q}),
+        scored AS (
+          SELECT query_id, event_id,
+                 2 * 6371008.8 * asin(sqrt(least(greatest(
+                     pow(sin((radians(y) - radians(qy)) / 2), 2)
+                     + cos(radians(qy)) * cos(radians(y))
+                       * pow(sin((radians(x) - radians(qx)) / 2), 2),
+                   0.0), 1.0))) AS dist_m
+          FROM pts CROSS JOIN qs),
+        ranked AS (SELECT query_id, event_id, dist_m,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist_m ASC, event_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, event_id AS id, CAST(rank AS INT) AS rank,
+               round(dist_m, 6) AS dist_m
+        FROM ranked WHERE rank <= 5
+    """
 
     dim = 64  # embeddings.parquet dimension at every sf (checked in tests)
     qv = _qvec(dim)
@@ -1523,6 +1586,14 @@ def oracle_sql() -> dict[str, str]:
                      AS area
             FROM events
         """,
+        "q_sqlapi_funcs": """
+            SELECT event_id,
+                   round(pow(1.0 + CAST(event_id % 100 AS DOUBLE)/100.0, 2), 6)
+                     AS area,
+                   CAST(4326 AS INT) AS srid,
+                   'SRID=4326;POLYGON' AS kind
+            FROM events
+        """,
         "q_st_length": """
             SELECT event_id,
                    round(CAST(1 + event_id % 7 AS DOUBLE)
@@ -1729,23 +1800,9 @@ def oracle_sql() -> dict[str, str]:
         # identical result set by construction (salting never changes the
         # joined rows) -- the same direct-spec oracle proves the salted path
         "q_spatial_join_salted": _spatial_join_oracle(),
-        "q_knn_grid": f"""
-            WITH pts AS (SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y FROM events),
-            qs AS ({knn_q}),
-            scored AS (
-              SELECT query_id, event_id,
-                     2 * 6371008.8 * asin(sqrt(least(greatest(
-                         pow(sin((radians(y) - radians(qy)) / 2), 2)
-                         + cos(radians(qy)) * cos(radians(y))
-                           * pow(sin((radians(x) - radians(qx)) / 2), 2),
-                       0.0), 1.0))) AS dist_m
-              FROM pts CROSS JOIN qs),
-            ranked AS (SELECT query_id, event_id, dist_m,
-                              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY dist_m ASC, event_id ASC) AS rank
-                       FROM scored)
-            SELECT query_id, event_id AS id, CAST(rank AS INT) AS rank,
-                   round(dist_m, 6) AS dist_m
-            FROM ranked WHERE rank <= 5
-        """,
+        "q_knn_grid": knn_brute_oracle,
+        # join_distributed shares knn_join's contract (equality with brute
+        # force), so the identical oracle proves the distributed-query-side
+        # path under the driver gate too
+        "q_knn_distributed": knn_brute_oracle,
     }

@@ -67,6 +67,21 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_flagship_queries_inside_correctness_window():
+    """The driver's correctness file records ~the first 50 queries() entries
+    in registration order (round-2 finding: the 9 flagship operators
+    registered last and fell outside it). Pin them to the front."""
+    flagship = [
+        "q_spatial_join_pages", "q_spatial_join_salted", "q_knn_grid",
+        "q_knn_distributed", "q_minhash_pairs", "q_simhash_pairs",
+        "q_embedding_dups", "q_ann_ivf", "q_geocode_rollup",
+        "q_s2_cell_rollup", "q_multimodal_features", "q_geom_collection",
+    ]
+    order = list(entry_mod.queries())
+    for name in flagship:
+        assert order.index(name) < 50, f"{name} registered at {order.index(name)}"
+
+
 def test_documented_counts_match_registry():
     """One source of truth, enforced (VERDICT r2 task #8): the query count
     claimed in COVERAGE.md / BENCH/BASELINE.md / README.md must equal

@@ -153,3 +153,32 @@ def test_media_decoders_never_crash_on_garbage():
             assert out.size >= 0
         except Exception as e:
             assert isinstance(e, (ValueError, NotImplementedError, IndexError))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(geoms(), min_size=0, max_size=4),
+       st.one_of(st.none(), st.integers(0, 10**6)))
+def test_collection_fuzz_roundtrip(gs, srid):
+    """GeometryCollection (WKB 7) round-trip: children come back flat, in
+    order, with the collection SRID inherited; child-level SRIDs are dropped
+    on encode (standard nesting), so compare modulo srid."""
+    from spatial.ewkb import decode_collection_hex, encode_collection_hex
+
+    h = encode_collection_hex(gs, srid=srid)
+    back = decode_collection_hex(h)
+    assert back is not None and len(back) == len(gs)
+    for a, b in zip(gs, back):
+        a2 = Geom(a.gtype, srid, a.has_z, a.has_m, a.xs, a.ys, a.zs, a.ms,
+                  a.ring_offsets, a.part_offsets)
+        assert _geom_eq(a2, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=120))
+def test_collection_decode_never_raises(buf):
+    """decode_collection_hex on arbitrary bytes: list or None, never a
+    raise (same malformed->null contract as decode_hex)."""
+    from spatial.ewkb import decode_collection_hex
+
+    out = decode_collection_hex(buf.hex())
+    assert out is None or isinstance(out, list)
