@@ -1109,6 +1109,31 @@ def q_stream_window_counts(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_stateful(spark, sf_dir):
+    """CUSTOM stateful streaming operator under the oracle gate (formerly
+    pytest-pinned only): applyInPandasWithState running totals over the
+    events stream (availableNow file source, update-mode memory sink). Each
+    micro-batch emits the key's cumulative count; totals are monotone, so
+    the final state per key = max of the emitted updates, and on a finite
+    input that must equal batch COUNT(*) per user_id -- Spark's unified-
+    semantics contract, replayed as plain SQL."""
+    import tempfile
+    import uuid
+
+    from spatial.streaming import run_available_now, stateful_running_totals
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    totals = stateful_running_totals(stream, key_col="user_id")
+    name = "q_stream_st_" + uuid.uuid4().hex[:10]
+    run_available_now(totals, tempfile.mkdtemp(prefix="q_stream_state_"),
+                      name, output_mode="update")
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events")))
+
+
 def q_stream_geo_tiles(spark, sf_dir):
     """STREAMING geo pipeline oracle: the synthetic pages corpus written to
     parquet, consumed incrementally (availableNow, 4 files per trigger so
@@ -1235,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_geom_collection": q_geom_collection,
         "q_sqlapi_funcs": q_sqlapi_funcs,
+        "q_stream_stateful": q_stream_stateful,
         "q1_pricing_summary": q1_pricing_summary,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_window_topk_orders": q_window_topk_orders,
@@ -1714,6 +1740,10 @@ def oracle_sql() -> dict[str, str]:
         "q_s2_cell_rollup": f"""
             SELECT cell, COUNT(*) AS n_points
             FROM ({cell_of_oracle_sql(LON_SQL, LAT_SQL, 10)}) GROUP BY cell
+        """,
+        "q_stream_stateful": """
+            SELECT user_id, COUNT(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         "q_stream_window_counts": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
