@@ -562,6 +562,10 @@ def q_spatial_join_salted(spark, sf_dir):
         r["cell"]
         for r in probe.groupBy("cell").count()
         .where(F.col("count") > 0.01 * total).collect())
+    # the geocode fixture concentrates pages on country centroids, so hot
+    # cells MUST exist -- if this ever trips, the query silently stopped
+    # exercising the salted replication it is registered to prove
+    assert hot, "salted-join driver query found no hot cells"
     return plan.join(enriched, x_col="lon", y_col="lat", salt_key="url",
                      hot_cells=hot).select("url", "region_id")
 
