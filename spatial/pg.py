@@ -12,12 +12,15 @@ engine's analog at DataFrame granularity:
       write:  GEOMETRY struct -> ewkb_encode -> string column  (PostGIS
               ingests a hex-EWKB literal into a geometry column directly)
       read:   string column   -> ewkb_decode -> GEOMETRY struct
-* ``write_jdbc``/``read_jdbc`` wire those transforms to spark.jdbc. No
-  Postgres server or JDBC driver exists in this sandbox, so the live path
-  raises a clear error if the driver is missing; the FIELD-LEVEL contract
-  (what bytes cross the boundary, both directions, all six kinds, Z/M/SRID)
-  is pinned by tests/test_pg.py against the codec -- the same boundary the
-  reference's GeoSpec golden fixtures pin (reference tests/GeoSpec.hs:17-44).
+* ``write_jdbc``/``read_jdbc`` wire those transforms to spark.jdbc. No JDBC
+  driver jar (or PostGIS extension) exists in this sandbox, so that exact
+  path raises a clear error if the driver is missing; the FIELD-LEVEL
+  contract (what bytes cross the boundary, both directions, all six kinds,
+  Z/M/SRID) is pinned two ways: tests/test_pg.py against the codec -- the
+  same boundary the reference's GeoSpec golden fixtures pin (reference
+  tests/GeoSpec.hs:17-44) -- and tests/test_pg_live.py through a REAL
+  PostgreSQL 15 server (initdb'd per-run; hex-EWKB INSERTed and SELECTed
+  back byte-identically, NULL fields -> null structs).
 """
 
 from __future__ import annotations
