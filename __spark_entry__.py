@@ -425,6 +425,18 @@ def q_token_count_bpe(spark, sf_dir):
                     token_count_bpe(F.col("text")).cast("long").alias("n_bpe"))
 
 
+def q_top_bigrams(spark, sf_dir):
+    """Corpus top-20 word bigrams (textstats.top_ngrams) -- the classic
+    training-data n-gram census. Pure-JVM tokenize/slide/count; global
+    top-k runs as TakeOrderedAndProject, not a one-task sort. Oracle:
+    identical tokenization ([^a-z]+ on lower; ASCII corpus) and windowed
+    counting replayed in DuckDB list SQL with the same (count desc, ngram
+    asc) total order."""
+    from spatial.datapipe.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
 def q_lang_rollup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return (
@@ -1290,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pg_field_roundtrip": q_pg_field_roundtrip,
         "q_token_count": q_token_count,
         "q_token_count_bpe": q_token_count_bpe,
+        "q_top_bigrams": q_top_bigrams,
         "q_lang_rollup": q_lang_rollup,
         "q_exact_dedup": q_exact_dedup,
         "q_embedding_topk": q_embedding_topk,
@@ -1551,6 +1564,23 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> ''),
                        x -> LENGTH(x))), 0) AS BIGINT) AS word_chars
             FROM documents""",
+        "q_top_bigrams": """
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 t -> t <> '') AS ts
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                           i -> ts[i] || ' ' || ts[i+1]))
+                       AS ngram
+              FROM toks WHERE len(ts) >= 2),
+            counts AS (SELECT ngram, COUNT(*) AS n_occurrences
+                       FROM grams GROUP BY ngram)
+            SELECT ngram, n_occurrences,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+                                           ngram ASC) AS INT) AS rank
+            FROM counts ORDER BY rank LIMIT 20
+        """,
         "q_token_count_bpe": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(lower(trim(text)),

@@ -20,7 +20,7 @@ no Python) except where noted. Designed for the ``documents`` table shape
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = {
@@ -102,6 +102,40 @@ def lang_id(text: Column) -> Column:
 def fingerprint64(text: Column) -> Column:
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\W+", " ")
     return F.xxhash64(normalized)
+
+
+def ngrams(text: Column, n: int = 2) -> Column:
+    """Lower-cased alphabetic word n-grams (space-joined), pure JVM: split
+    on ``[^a-z]+``, drop empties, slide an n-window via transform/element_at.
+    Empty array when the text has fewer than n tokens (sequence() would
+    otherwise generate a DESCENDING range -- guarded)."""
+    toks = F.filter(F.split(F.lower(text), r"[^a-z]+"), lambda w: w != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                     for j in range(n)]))
+    return F.when(F.size(toks) >= n, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k n-grams: (ngram, n_occurrences, rank).
+
+    Scale shape: the count aggregate is a normal map-side-combined shuffle
+    on the (short) ngram string; the global top-k uses orderBy+limit, which
+    Spark executes as TakeOrderedAndProject (per-partition partial top-k
+    merged on the driver) -- NOT a single-task global sort over all distinct
+    ngrams. Ties broken (count desc, ngram asc): a total order, so the
+    result is deterministic and SQL-oracle-able."""
+    counts = (
+        df.select(F.explode(ngrams(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram").agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return counts.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:

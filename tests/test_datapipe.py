@@ -346,3 +346,19 @@ def test_ivf_partition_pruning(spark, tmp_path):
     b = sorted((r["query_id"], r["rank"], r["vec_id"])
                for r in ivf_topk(clustered, C, Q, k=5, nprobe=2).collect())
     assert a == b
+
+
+def test_top_ngrams(spark, docs):
+    from spatial.datapipe.textstats import top_ngrams
+
+    tiny = spark.createDataFrame(
+        [(0, "the cat sat on the cat mat"), (1, "the cat sat"),
+         (2, ""), (3, None), (4, "one")],
+        "doc_id long, text string")
+    out = top_ngrams(tiny, n=2, k=3).collect()
+    assert [(r["ngram"], r["n_occurrences"], r["rank"]) for r in out] == [
+        ("the cat", 3, 1), ("cat sat", 2, 2), ("cat mat", 1, 3)]
+    # scale shape: global top-k must compile to TakeOrderedAndProject
+    # (per-partition partial top-k), not a full sort of all distinct ngrams
+    plan = top_ngrams(docs, n=2, k=20)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
