@@ -186,6 +186,59 @@ def decode_geojson(text: Optional[str]) -> Optional[Geom]:
         return None
 
 
+def encode_geojson_collection(geoms: list, srid: Optional[int] = None,
+                              compat: str = "standard") -> str:
+    """list of Geom -> ``{"geometries":[...],"type":"GeometryCollection"}``
+    with the codec's byte contract (alphabetical keys, no whitespace).
+    Children render crs-free -- GeoJSON carries no per-child crs; the
+    collection-level ``crs`` member covers them (same header-only SRID rule
+    as the EWKB/WKT collections)."""
+    import dataclasses
+
+    inner = ",".join(encode_geojson(dataclasses.replace(g, srid=None), compat)
+                     for g in geoms)
+    authority = "ESPG" if compat == "reference" else "EPSG"
+    out = "{"
+    if srid is not None:
+        out += ('"crs":{"type":"name","properties":{"name":"'
+                + authority + ":" + str(srid) + '"}},')
+    return out + '"geometries":[' + inner + '],"type":"GeometryCollection"}'
+
+
+def decode_geojson_collection(text: Optional[str]) -> Optional[list[Geom]]:
+    """GeoJSON -> flat list of Geom: GeometryCollection flattens to its
+    children (nested ones recursively; children inherit the collection crs
+    SRID when they carry none), a plain geometry becomes a one-element
+    list, malformed input -> None (same contract as the EWKB/WKT
+    collection decoders)."""
+    if text is None:
+        return None
+    try:
+        obj = json.loads(text)
+    except Exception:
+        return None
+    if not isinstance(obj, dict):
+        return None
+    if obj.get("type") != "GeometryCollection":
+        g = decode_geojson(text)
+        return [g] if g is not None else None
+    srid = _parse_srid(obj)
+    kids = obj.get("geometries")
+    if not isinstance(kids, list):
+        return None
+    out: list[Geom] = []
+    for sub in kids:
+        part = decode_geojson_collection(json.dumps(sub))
+        if part is None:
+            return None
+        out.extend(part)
+    if srid is not None:
+        for g in out:
+            if g.srid is None:
+                g.srid = srid
+    return out
+
+
 # -- Arrow batch layer -----------------------------------------------------
 
 from .ewkb import _EMPTY_ROW, _row_to_geom  # noqa: E402

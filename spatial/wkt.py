@@ -200,6 +200,58 @@ def decode_wkt(text: Optional[str]) -> Optional[Geom]:
         return None
 
 
+_COLL_HEAD_RE = re.compile(
+    r"^\s*(?:SRID\s*=\s*(-?\d+)\s*;)?\s*GEOMETRYCOLLECTION"
+    r"\s*(EMPTY|\(.*\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def encode_wkt_collection(geoms: list, srid: Optional[int] = None,
+                          ewkt: bool = True) -> str:
+    """list of Geom -> ``GEOMETRYCOLLECTION (POINT (..), ...)`` (OGC
+    06-103r4 §7.2.6; EMPTY when the list is empty). Children render plain
+    WKT (SRID lives on the collection's EWKT prefix only, mirroring the
+    EWKB collection's header-only SRID rule)."""
+    body = ("EMPTY" if not geoms else
+            "(" + ", ".join(encode_wkt(g, ewkt=False) for g in geoms) + ")")
+    text = "GEOMETRYCOLLECTION " + body
+    if ewkt and srid is not None:
+        text = f"SRID={srid};" + text
+    return text
+
+
+def decode_wkt_collection(text: Optional[str]) -> Optional[list[Geom]]:
+    """WKT/EWKT -> flat list of Geom: collections flatten to their children
+    (nested ones recursively; children inherit the collection SRID when
+    they carry none), plain geometries become one-element lists, malformed
+    text -> None -- the same contract as ewkb.decode_collection_hex."""
+    if text is None:
+        return None
+    m = _COLL_HEAD_RE.match(text)
+    if not m:
+        g = decode_wkt(text)
+        return [g] if g is not None else None
+    srid = int(m.group(1)) if m.group(1) else None
+    body = m.group(2)
+    if body.upper() == "EMPTY":
+        return []
+    try:
+        out: list[Geom] = []
+        for child in _split_top(_strip_parens(body)):
+            sub = decode_wkt_collection(child)
+            if sub is None:
+                return None
+            out.extend(sub)
+        if srid is not None:
+            for g in out:
+                if g.srid is None:
+                    g.srid = srid
+        return out
+    except Exception:
+        return None
+
+
 @pandas_udf(StringType())
 def wkt_encode(geom: pd.DataFrame) -> pd.Series:
     out = []

@@ -182,3 +182,33 @@ def test_collection_decode_never_raises(buf):
 
     out = decode_collection_hex(buf.hex())
     assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(geoms(), min_size=0, max_size=3),
+       st.one_of(st.none(), st.integers(0, 10**6)))
+def test_collection_cross_codec_roundtrip(gs, srid):
+    """The same collection through all THREE codecs (EWKB hex, WKT,
+    GeoJSON) must come back as the same flat child list (GeoJSON skips
+    M-without-Z children -- lossy by format design, same rule as the
+    single-geometry fuzz)."""
+    from spatial.ewkb import decode_collection_hex, encode_collection_hex
+    from spatial.geojson import (decode_geojson_collection,
+                                 encode_geojson_collection)
+    from spatial.wkt import decode_wkt_collection, encode_wkt_collection
+
+    expect = [Geom(g.gtype, srid, g.has_z, g.has_m, g.xs, g.ys, g.zs, g.ms,
+                   g.ring_offsets, g.part_offsets) for g in gs]
+
+    back_ewkb = decode_collection_hex(encode_collection_hex(gs, srid=srid))
+    back_wkt = decode_wkt_collection(encode_wkt_collection(gs, srid=srid))
+    assert len(back_ewkb) == len(gs) and len(back_wkt) == len(gs)
+    for want, be, bw in zip(expect, back_ewkb, back_wkt):
+        assert _geom_eq(want, be) and _geom_eq(want, bw)
+
+    if not any(g.has_m and not g.has_z for g in gs):
+        back_gj = decode_geojson_collection(
+            encode_geojson_collection(gs, srid=srid))
+        assert len(back_gj) == len(gs)
+        for want, bg in zip(expect, back_gj):
+            assert _geom_eq(want, bg)

@@ -97,3 +97,31 @@ def test_spark_udfs(spark):
     assert row["ref"] == LINESTRING1_JSON
     assert "EPSG:4326" in row["std"]
     assert row["g"]["srid"] == 4326
+
+
+def test_geojson_collection_roundtrip():
+    from spatial.geojson import (decode_geojson_collection,
+                                 encode_geojson_collection)
+
+    children = [point(1.5, -2.0), linestring([(0.0, 0.0), (3.0, 4.0)])]
+    t = encode_geojson_collection(children, srid=4326)
+    # byte contract: alphabetical keys, no whitespace, collection-level crs
+    assert t.startswith('{"crs":{"type":"name","properties":'
+                        '{"name":"EPSG:4326"}},"geometries":[')
+    assert t.endswith('],"type":"GeometryCollection"}')
+    assert json.loads(t)  # well-formed
+    back = decode_geojson_collection(t)
+    assert [g.gtype for g in back] == [1, 2]
+    assert all(g.srid == 4326 for g in back)
+    assert back[0].xs == [1.5] and back[1].ys == [0.0, 4.0]
+    # nested flatten, plain passthrough, malformed
+    nested = ('{"geometries":[{"coordinates":[1.0,2.0],"type":"Point"},'
+              '{"geometries":[{"coordinates":[[0.0,0.0],[1.0,1.0]],'
+              '"type":"LineString"}],"type":"GeometryCollection"}],'
+              '"type":"GeometryCollection"}')
+    flat = decode_geojson_collection(nested)
+    assert [g.gtype for g in flat] == [1, 2]
+    assert [g.gtype for g in decode_geojson_collection(
+        '{"coordinates":[1.0,2.0],"type":"Point"}')] == [1]
+    assert decode_geojson_collection('{"type":"GeometryCollection"}') is None
+    assert decode_geojson_collection("nope") is None

@@ -88,3 +88,29 @@ def test_spark_udfs(spark):
     )
     assert rows[0]["t2"] == "SRID=4326;POINT (1.5 2.5)"
     assert rows[1]["t2"] is None
+
+
+def test_wkt_collection_roundtrip():
+    from spatial.wkt import decode_wkt_collection, encode_wkt_collection
+
+    children = [point(1.5, -2.0), linestring([(0.0, 0.0), (3.0, 4.0)]),
+                polygon([[(0, 0), (4, 0), (0, 4), (0, 0)]])]
+    t = encode_wkt_collection(children, srid=4326)
+    assert t.startswith("SRID=4326;GEOMETRYCOLLECTION (POINT (1.5 -2), ")
+    back = decode_wkt_collection(t)
+    assert [g.gtype for g in back] == [1, 2, 3]
+    assert all(g.srid == 4326 for g in back)
+    for orig, got in zip(children, back):
+        assert got.xs == [float(v) for v in orig.xs]
+        assert got.ys == [float(v) for v in orig.ys]
+    # nested collection flattens; inner child keeps its own structure
+    nested = ("GEOMETRYCOLLECTION (POINT (1 2), "
+              "GEOMETRYCOLLECTION (LINESTRING (0 0, 1 1)))")
+    flat = decode_wkt_collection(nested)
+    assert [g.gtype for g in flat] == [1, 2]
+    # EMPTY, plain-geometry passthrough, malformed
+    assert decode_wkt_collection("GEOMETRYCOLLECTION EMPTY") == []
+    assert encode_wkt_collection([]) == "GEOMETRYCOLLECTION EMPTY"
+    assert [g.gtype for g in decode_wkt_collection("POINT (1 2)")] == [1]
+    assert decode_wkt_collection("GEOMETRYCOLLECTION (POINT)") is None
+    assert decode_wkt_collection(None) is None
