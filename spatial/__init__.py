@@ -41,5 +41,23 @@ from .ewkb import (  # noqa: F401
     ewkb_encode_collection,
     ewkb_encode_reference_compat,
 )
+from .geometry import GEOMETRYCOLLECTION  # noqa: F401
+from .wkt import (  # noqa: F401
+    decode_wkt,
+    decode_wkt_collection,
+    encode_wkt,
+    encode_wkt_collection,
+    wkt_decode,
+    wkt_encode,
+)
+from .geojson import (  # noqa: F401
+    decode_geojson,
+    decode_geojson_collection,
+    encode_geojson,
+    encode_geojson_collection,
+    from_geojson,
+    to_geojson,
+    to_geojson_reference_compat,
+)
 
 __version__ = "0.1.0"
