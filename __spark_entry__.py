@@ -347,6 +347,35 @@ def q_ewkb_roundtrip(spark, sf_dir):
     )
 
 
+def q_geom_accessors(spark, sf_dir):
+    """P3 accessors (hasZ/hasM/geoType/srid) plus the Z/M coordinate stride
+    on the wire, driver-oracled: ZM point structs with closed-form z/m
+    encode->decode through the codec; the accessor fields and both extra
+    ordinates replay in SQL. Float parity: z = (id%1000)/10.0 is a single
+    IEEE division of small ints (correctly rounded identically on both
+    sides) and the codec moves raw IEEE bytes."""
+    ev = _events(spark, sf_dir)
+    z = (F.col("event_id") % 1000).cast("double") / 10.0
+    mm = (F.col("event_id") % 97).cast("double")
+    pt = F.struct(
+        F.lit(1).alias("gtype"), F.lit(3857).alias("srid"),
+        F.lit(True).alias("has_z"), F.lit(True).alias("has_m"),
+        F.array(_lon()).alias("xs"), F.array(_lat()).alias("ys"),
+        F.array(z).alias("zs"), F.array(mm).alias("ms"),
+        F.array(F.lit(0), F.lit(1)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    return (
+        ev.withColumn("hex", ewkb_encode(pt))
+        .withColumn("g", ewkb_decode("hex"))
+        .select("event_id", F.col("g.gtype").alias("gtype"),
+                F.col("g.has_z").alias("has_z"),
+                F.col("g.has_m").alias("has_m"),
+                F.col("g.srid").alias("srid"),
+                F.col("g.zs")[0].alias("z"), F.col("g.ms")[0].alias("m"))
+    )
+
+
 def _point_struct():
     return F.struct(
         F.lit(1).alias("gtype"), F.lit(4326).alias("srid"),
@@ -1294,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wkt_roundtrip": q_wkt_roundtrip,
         "q_geojson_roundtrip": q_geojson_roundtrip,
         "q_pg_field_roundtrip": q_pg_field_roundtrip,
+        "q_geom_accessors": q_geom_accessors,
         "q_token_count_bpe": q_token_count_bpe,
         "q_top_bigrams": q_top_bigrams,
         "q_lang_rollup": q_lang_rollup,
@@ -1546,6 +1576,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, x, y FROM
               (SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y FROM events)
             WHERE {pip}""",
+        "q_geom_accessors": """
+            SELECT event_id, CAST(1 AS INT) AS gtype, TRUE AS has_z,
+                   TRUE AS has_m, CAST(3857 AS INT) AS srid,
+                   CAST(event_id % 1000 AS DOUBLE)/10.0 AS z,
+                   CAST(event_id % 97 AS DOUBLE) AS m
+            FROM events
+        """,
         "q_ewkb_roundtrip": f"""
             SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y, 4326 AS srid
             FROM events""",
