@@ -641,6 +641,27 @@ def q_geom_collection(spark, sf_dir):
     )
 
 
+def q_spatial_join_shuffle(spark, sf_dir):
+    """The third join strategy under the oracle gate: plain cell-key
+    SHUFFLE join (broadcast_threshold=0 forces the non-broadcast,
+    non-salted path -- what runs when the build side outgrows the byte
+    budget but no skew is detected). Identical result set by construction;
+    spatial_join_oracle_sql reused verbatim, completing driver-oracle
+    coverage of all three physical strategies (broadcast / salted /
+    shuffle)."""
+    from spatial.ewkb import ewkb_decode as dec
+    from spatial.join import spatial_join
+    from spatial.pipeline import enrich_pages
+    from spatial.synth import synth_pages, synth_regions
+
+    pages = synth_pages(spark, 2000)
+    regions = synth_regions(spark).withColumn("geom", dec("geom_hex")).select(
+        "region_id", "geom")
+    enriched = enrich_pages(pages, 12)
+    return spatial_join(enriched, regions, x_col="lon", y_col="lat",
+                        broadcast_threshold=0).select("url", "region_id")
+
+
 def q_geocode_rollup(spark, sf_dir):
     """Geocode source rollup. Oracle: geocode LOGIC (coord regex + bounds,
     longest-first city alternation, ccTLD centroid) replayed in DuckDB over
@@ -1297,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_spatial_join_pages": q_spatial_join_pages,
         "q_spatial_join_salted": q_spatial_join_salted,
+        "q_spatial_join_shuffle": q_spatial_join_shuffle,
         "q_knn_grid": q_knn_grid,
         "q_knn_distributed": q_knn_distributed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -1343,8 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q_quality_scores": q_quality_scores,
         "q_stream_window_counts": q_stream_window_counts,
-        "q_stream_geo_tiles": q_stream_geo_tiles,
         "q_ann_ivf_pruned": q_ann_ivf_pruned,
+        "q_stream_geo_tiles": q_stream_geo_tiles,
         "q_rollup_revenue": q_rollup_revenue,
         "q_array_funcs": q_array_funcs,
         "q_json_props": q_json_props,
@@ -1904,6 +1926,7 @@ def oracle_sql() -> dict[str, str]:
         # identical result set by construction (salting never changes the
         # joined rows) -- the same direct-spec oracle proves the salted path
         "q_spatial_join_salted": _spatial_join_oracle(),
+        "q_spatial_join_shuffle": _spatial_join_oracle(),
         "q_knn_grid": knn_brute_oracle,
         # join_distributed shares knn_join's contract (equality with brute
         # force), so the identical oracle proves the distributed-query-side
