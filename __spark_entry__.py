@@ -662,6 +662,25 @@ def q_spatial_join_shuffle(spark, sf_dir):
                         broadcast_threshold=0).select("url", "region_id")
 
 
+def q_spatial_join_left(spark, sf_dir):
+    """how='left' spatial join under the oracle gate: every geocoded page
+    exactly once per matched region, or once with a NULL region_id when it
+    lands in no region. Oracle: the inner direct-spec result LEFT JOINed
+    back to the geocoded point set on url (urls are unique in the
+    fixture)."""
+    from spatial.ewkb import ewkb_decode as dec
+    from spatial.join import spatial_join
+    from spatial.pipeline import enrich_pages
+    from spatial.synth import synth_pages, synth_regions
+
+    pages = synth_pages(spark, 2000)
+    regions = synth_regions(spark).withColumn("geom", dec("geom_hex")).select(
+        "region_id", "geom")
+    enriched = enrich_pages(pages, 12)
+    return spatial_join(enriched, regions, x_col="lon", y_col="lat",
+                        how="left").select("url", "region_id")
+
+
 def q_geocode_rollup(spark, sf_dir):
     """Geocode source rollup. Oracle: geocode LOGIC (coord regex + bounds,
     longest-first city alternation, ccTLD centroid) replayed in DuckDB over
@@ -1319,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spatial_join_pages": q_spatial_join_pages,
         "q_spatial_join_salted": q_spatial_join_salted,
         "q_spatial_join_shuffle": q_spatial_join_shuffle,
+        "q_spatial_join_left": q_spatial_join_left,
         "q_knn_grid": q_knn_grid,
         "q_knn_distributed": q_knn_distributed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -1335,7 +1355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_window_topk_orders": q_window_topk_orders,
         "q_anti_join_delta": q_anti_join_delta,
-        "q_union_distinct_users": q_union_distinct_users,
         "q_value_percentiles": q_value_percentiles,
         "q_sessionize": q_sessionize,
         "q_tile_assign": q_tile_assign,
@@ -1366,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_scores": q_quality_scores,
         "q_stream_window_counts": q_stream_window_counts,
         "q_ann_ivf_pruned": q_ann_ivf_pruned,
+        "q_union_distinct_users": q_union_distinct_users,
         "q_stream_geo_tiles": q_stream_geo_tiles,
         "q_rollup_revenue": q_rollup_revenue,
         "q_array_funcs": q_array_funcs,
@@ -1391,6 +1411,19 @@ def _geocode_oracle() -> str:
     from spatial.synth import pages_values_sql
 
     return geocode_oracle_sql(pages_values_sql(2000))
+
+
+def _spatial_join_left_oracle() -> str:
+    from spatial.geocode import geocode_oracle_sql
+    from spatial.synth import pages_values_sql, spatial_join_oracle_sql
+
+    inner = spatial_join_oracle_sql(2000)
+    geo = geocode_oracle_sql(pages_values_sql(2000))
+    return f"""
+        WITH __inner AS ({inner}),
+        __geo AS (SELECT url FROM ({geo}) WHERE lon IS NOT NULL)
+        SELECT g.url, i.region_id
+        FROM __geo g LEFT JOIN __inner i ON g.url = i.url"""
 
 
 def _spatial_join_oracle() -> str:
@@ -1927,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         # joined rows) -- the same direct-spec oracle proves the salted path
         "q_spatial_join_salted": _spatial_join_oracle(),
         "q_spatial_join_shuffle": _spatial_join_oracle(),
+        "q_spatial_join_left": _spatial_join_left_oracle(),
         "q_knn_grid": knn_brute_oracle,
         # join_distributed shares knn_join's contract (equality with brute
         # force), so the identical oracle proves the distributed-query-side

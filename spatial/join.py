@@ -288,9 +288,23 @@ class SpatialJoinPlan:
         if how == "inner":
             return refined
         if how == "left":
-            return points.join(
-                refined.select(*points.columns, F.col(region_id_col)),
-                points.columns, "left")
+            # Re-attach matches by VALUE identity with NULL-SAFE equality:
+            # the previous plain column-list join used `=` semantics, so a
+            # matched row carrying ANY null column silently failed to
+            # re-attach and came back region-less (null = null is not true
+            # in SQL). Aliased frames avoid the self-join lineage ambiguity.
+            # Contract: point rows are distinct (duplicate identical rows
+            # cross-multiply, as in any value-keyed join).
+            p = points.alias("__pts")
+            m = refined.select(*points.columns,
+                               F.col(region_id_col)).alias("__match")
+            cond = None
+            for c in points.columns:
+                e = F.col(f"__pts.{c}").eqNullSafe(F.col(f"__match.{c}"))
+                cond = e if cond is None else (cond & e)
+            return p.join(m, cond, "left").select(
+                *[F.col(f"__pts.{c}").alias(c) for c in points.columns],
+                F.col(f"__match.{region_id_col}").alias(region_id_col))
         raise ValueError(f"unsupported how={how!r}")
 
     def unpersist(self):

@@ -172,3 +172,33 @@ def test_shuffle_refine_fallback_row_identity(spark):
                  .select("url", "region_id").collect())
     assert got == want and len(got) > 0
     base.unpersist(); fb.unpersist()
+
+
+def test_left_join_with_null_columns(spark, fixtures):
+    """how='left': every point comes back exactly once per matched region
+    (or once with a null region_id), INCLUDING rows carrying null columns.
+    Regression: the old column-list equality join silently dropped the
+    match for any row with a null column (null = null is not true), so
+    those rows came back region-less."""
+    regions_df, points_df, oracle = fixtures
+    pts = points_df.limit(500).withColumn(
+        "note",
+        F.when(F.col("pid") % 3 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("n"), F.col("pid"))))
+    got = spatial_join(pts, regions_df, x_col="x", y_col="y", how="left")
+    rows = got.collect()
+    kept_ids = {r["pid"] for r in pts.collect()}
+    matched = {(r["pid"], r["region_id"]) for r in rows
+               if r["region_id"] is not None}
+    want = {(p, rid) for p, rid in oracle if p in kept_ids}
+    assert matched == want, "left join must attach every oracle match"
+    # the null-column rows must still match (the old-bug repro)
+    null_note_matches = {p for p, _ in matched if p % 3 == 0}
+    assert null_note_matches == {p for p, _ in want if p % 3 == 0}
+    # unmatched points appear exactly once with a null region
+    matched_ids = {p for p, _ in want}
+    unmatched_rows = [r for r in rows if r["region_id"] is None]
+    assert {r["pid"] for r in unmatched_rows} == kept_ids - matched_ids
+    assert len(unmatched_rows) == len(kept_ids - matched_ids)
+    # row accounting: one row per (pid, region) match + one per unmatched pid
+    assert len(rows) == len(want) + len(kept_ids - matched_ids)
