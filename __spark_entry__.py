@@ -558,57 +558,71 @@ def q_knn_distributed(spark, sf_dir):
                       F.round("dist_m", 6).alias("dist_m"))
 
 
+def _pages_join_fixture(spark):
+    """Shared (enriched pages, decoded regions) fixture behind the four
+    spatial-join driver queries -- same inputs, so one oracle spec serves
+    every physical strategy."""
+    from spatial.ewkb import ewkb_decode as dec
+    from spatial.pipeline import enrich_pages
+    from spatial.synth import synth_pages, synth_regions
+
+    regions = synth_regions(spark).withColumn("geom", dec("geom_hex")).select(
+        "region_id", "geom")
+    enriched = enrich_pages(synth_pages(spark, 2000), 12)
+    return enriched, regions
+
+
+def _materialize_join(plan, enriched, **join_kw):
+    """plan.join -> (url, region_id), eagerly materialized so the plan's
+    working caches (build cells + geoms) are released before returning --
+    driver queries must not leak session-lifetime caches (the dedup
+    modules' discipline). The returned frame stays persisted (it IS the
+    result); the harness collects and discards it."""
+    out = plan.join(enriched, x_col="lon", y_col="lat", **join_kw) \
+        .select("url", "region_id").persist()
+    out.count()
+    plan.unpersist()
+    return out
+
+
 def q_spatial_join_pages(spark, sf_dir):
     """Flagship spatial join on the synthetic pages corpus. Oracle: the
     direct quantifier-free spec -- geocode replayed in SQL, then an even-odd
     ray cast per (point, region) with bit-identical expression order
     (synth.spatial_join_oracle_sql); cover-cell candidate pruning is a
     guaranteed superset so it cannot change the result set."""
-    from spatial.ewkb import ewkb_decode as dec
-    from spatial.join import spatial_join
-    from spatial.pipeline import enrich_pages
-    from spatial.synth import synth_pages, synth_regions
+    from spatial.join import SpatialJoinPlan
 
-    pages = synth_pages(spark, 2000)
-    regions = synth_regions(spark).withColumn("geom", dec("geom_hex")).select(
-        "region_id", "geom")
-    enriched = enrich_pages(pages, 12)
-    return spatial_join(enriched, regions, x_col="lon", y_col="lat").select(
-        "url", "region_id")
+    enriched, regions = _pages_join_fixture(spark)
+    return _materialize_join(SpatialJoinPlan(regions), enriched)
 
 
 def q_spatial_join_salted(spark, sf_dir):
     """Same join, same fixture, SAME oracle SQL as q_spatial_join_pages, but
     forced down the salted-shuffle skew path: salt_buckets=8 plus a pinned
-    hot-cell list computed from the probe's exact cell histogram (>1% of
-    rows; the seeded fixture makes the list deterministic). Salting only
-    replicates build rows and scatters hot probe rows across their replicas,
-    so the joined row SET is identical by construction -- which is exactly
-    why reusing spatial_join_oracle_sql verbatim proves the skew machinery
-    (VERDICT r2 task #2), not just the broadcast path."""
+    hot-cell list from detect_hot_cells at sample_fraction=1.0 (the exact
+    histogram -- deterministic for the seeded fixture; same code path the
+    engine uses, so the query proves the machinery it claims to). Salting
+    only replicates build rows and scatters hot probe rows across their
+    replicas, so the joined row SET is identical by construction -- which is
+    exactly why reusing spatial_join_oracle_sql verbatim proves the skew
+    path (VERDICT r2 task #2), not just the broadcast one."""
     from spatial.cells import with_cell
-    from spatial.ewkb import ewkb_decode as dec
-    from spatial.join import SpatialJoinPlan
-    from spatial.pipeline import enrich_pages
-    from spatial.synth import synth_pages, synth_regions
+    from spatial.join import SpatialJoinPlan, detect_hot_cells
 
-    pages = synth_pages(spark, 2000)
-    regions = synth_regions(spark).withColumn("geom", dec("geom_hex")).select(
-        "region_id", "geom")
-    enriched = enrich_pages(pages, 12).persist()
+    enriched, regions = _pages_join_fixture(spark)
+    enriched = enriched.persist()
     plan = SpatialJoinPlan(regions, salt_buckets=8)
     probe = with_cell(enriched, "lon", "lat", plan.level, "cell")
-    total = enriched.count()
-    hot = sorted(
-        r["cell"]
-        for r in probe.groupBy("cell").count()
-        .where(F.col("count") > 0.01 * total).collect())
+    hot = sorted(detect_hot_cells(probe, threshold_ratio=0.01,
+                                  sample_fraction=1.0))
     # the geocode fixture concentrates pages on country centroids, so hot
     # cells MUST exist -- if this ever trips, the query silently stopped
     # exercising the salted replication it is registered to prove
     assert hot, "salted-join driver query found no hot cells"
-    return plan.join(enriched, x_col="lon", y_col="lat", salt_key="url",
-                     hot_cells=hot).select("url", "region_id")
+    out = _materialize_join(plan, enriched, salt_key="url", hot_cells=hot)
+    enriched.unpersist()
+    return out
 
 
 def q_geom_collection(spark, sf_dir):
@@ -649,17 +663,11 @@ def q_spatial_join_shuffle(spark, sf_dir):
     spatial_join_oracle_sql reused verbatim, completing driver-oracle
     coverage of all three physical strategies (broadcast / salted /
     shuffle)."""
-    from spatial.ewkb import ewkb_decode as dec
-    from spatial.join import spatial_join
-    from spatial.pipeline import enrich_pages
-    from spatial.synth import synth_pages, synth_regions
+    from spatial.join import SpatialJoinPlan
 
-    pages = synth_pages(spark, 2000)
-    regions = synth_regions(spark).withColumn("geom", dec("geom_hex")).select(
-        "region_id", "geom")
-    enriched = enrich_pages(pages, 12)
-    return spatial_join(enriched, regions, x_col="lon", y_col="lat",
-                        broadcast_threshold=0).select("url", "region_id")
+    enriched, regions = _pages_join_fixture(spark)
+    return _materialize_join(
+        SpatialJoinPlan(regions, broadcast_threshold=0), enriched)
 
 
 def q_spatial_join_left(spark, sf_dir):
@@ -668,17 +676,10 @@ def q_spatial_join_left(spark, sf_dir):
     lands in no region. Oracle: the inner direct-spec result LEFT JOINed
     back to the geocoded point set on url (urls are unique in the
     fixture)."""
-    from spatial.ewkb import ewkb_decode as dec
-    from spatial.join import spatial_join
-    from spatial.pipeline import enrich_pages
-    from spatial.synth import synth_pages, synth_regions
+    from spatial.join import SpatialJoinPlan
 
-    pages = synth_pages(spark, 2000)
-    regions = synth_regions(spark).withColumn("geom", dec("geom_hex")).select(
-        "region_id", "geom")
-    enriched = enrich_pages(pages, 12)
-    return spatial_join(enriched, regions, x_col="lon", y_col="lat",
-                        how="left").select("url", "region_id")
+    enriched, regions = _pages_join_fixture(spark)
+    return _materialize_join(SpatialJoinPlan(regions), enriched, how="left")
 
 
 def q_geocode_rollup(spark, sf_dir):

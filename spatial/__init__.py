@@ -14,6 +14,7 @@ JDBC field boundary (spatial.pg) that is the reference's raison d'etre.
 
 from .geometry import (  # noqa: F401
     GEOMETRY,
+    GEOMETRYCOLLECTION,
     Geom,
     POINT,
     LINESTRING,
@@ -41,7 +42,6 @@ from .ewkb import (  # noqa: F401
     ewkb_encode_collection,
     ewkb_encode_reference_compat,
 )
-from .geometry import GEOMETRYCOLLECTION  # noqa: F401
 from .wkt import (  # noqa: F401
     decode_wkt,
     decode_wkt_collection,

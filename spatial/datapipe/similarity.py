@@ -85,13 +85,16 @@ def train_centroids(
 ) -> np.ndarray:
     """k-means-lite on a deterministic uniform sample (driver-side Lloyd).
 
-    Sampling is a pmod(xxhash64(id), m) filter, NOT limit(): limit() takes
-    whole leading partitions, so on a sorted/clustered corpus the centroids
-    would train on a biased slice and IVF recall would degrade silently
-    (VERDICT r2 wrong #2). The hash filter picks a uniform pseudo-random
-    subset independent of row order and partitioning; the collected sample
-    is sorted by id so the Lloyd init is bit-stable at any parallelism.
-    Cost: one bounded count() to size the modulus + a ~sample_rows collect.
+    Sampling is uniform in the HASH of the id, never in the id itself:
+    a pmod(xxhash64(id), m) filter shrinks the candidate set (skipped when
+    m=1), then the survivors are ordered by (xxhash64(id), id) and the
+    first sample_rows taken -- so the truncation is pseudo-random too. A
+    plain limit() (round-2) took whole leading partitions, and round 3's
+    first fix ordered by raw id before the limit, which still truncated
+    the high-id tail on id-clustered corpora (review finding): both leave
+    id-correlated bias that degrades IVF recall silently. Hash-ordered
+    truncation is deterministic at any parallelism (TakeOrdered) and
+    id-unbiased. Cost: one bounded count() + a ~sample_rows collect.
     """
     n = corpus.count()
     m = max(1, n // sample_rows)
@@ -99,7 +102,8 @@ def train_centroids(
     if m > 1:
         sample_df = sample_df.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
-    rows = sample_df.orderBy(id_col).limit(sample_rows).collect()
+    rows = sample_df.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)) \
+        .limit(sample_rows).collect()
     sample = np.asarray([r[1] for r in rows], dtype=np.float64)
     sample = _normalize(sample)
     rng = np.random.default_rng(seed)

@@ -155,7 +155,15 @@ def decode_geojson(text: Optional[str]) -> Optional[Geom]:
     if text is None:
         return None
     try:
-        obj = json.loads(text)
+        return _decode_geom_obj(json.loads(text))
+    except Exception:
+        return None
+
+
+def _decode_geom_obj(obj) -> Optional[Geom]:
+    """Parsed-dict form of decode_geojson (shared with the collection
+    decoder so children never re-serialize)."""
+    try:
         t = _NAME_TO_GTYPE.get(obj.get("type"))
         if t is None:
             return None
@@ -217,10 +225,16 @@ def decode_geojson_collection(text: Optional[str]) -> Optional[list[Geom]]:
         obj = json.loads(text)
     except Exception:
         return None
+    return _decode_collection_obj(obj)
+
+
+def _decode_collection_obj(obj):
+    """Parsed-dict form of decode_geojson_collection: children recurse on
+    dicts directly (no re-serialize/re-parse per nesting level)."""
     if not isinstance(obj, dict):
         return None
     if obj.get("type") != "GeometryCollection":
-        g = decode_geojson(text)
+        g = _decode_geom_obj(obj)
         return [g] if g is not None else None
     srid = _parse_srid(obj)
     kids = obj.get("geometries")
@@ -228,7 +242,7 @@ def decode_geojson_collection(text: Optional[str]) -> Optional[list[Geom]]:
         return None
     out: list[Geom] = []
     for sub in kids:
-        part = decode_geojson_collection(json.dumps(sub))
+        part = _decode_collection_obj(sub)
         if part is None:
             return None
         out.extend(part)

@@ -273,6 +273,18 @@ class SpatialJoinPlan:
         from .cells import with_cell
 
         region_id_col = self.region_id_col
+        # The plan owns these working column names on the probe side. A
+        # user column named "cell" would be silently OVERWRITTEN by the
+        # staged cell assignment -- and on the how='left' path the value
+        # re-attach would then compare original vs computed cells and match
+        # NOTHING (all-null region_id, review finding). Fail loudly instead.
+        reserved = {"cell", "__salt", "__geom", region_id_col,
+                    "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"}
+        clash = reserved & set(points.columns)
+        if clash:
+            raise ValueError(
+                f"points columns {sorted(clash)} collide with the spatial "
+                f"join's working columns; rename them before joining")
         # pure-JVM staged cell assignment: the probe side has NO Python
         # crossing for cell ids (bit-parity with the NumPy kernel pinned in
         # tests/test_cells.py)
