@@ -1,0 +1,111 @@
+"""Corpus curation operators for training-data assembly: deterministic
+stratified sampling and token-budget shard packing.
+
+Both are pure-JVM column programs (whole-stage codegen, no Python in the
+hot path) and both are SQL-replayable bit-for-bit, so they sit under the
+driver's exact-oracle gate like every other operator.
+
+* ``hash_sample``    -- seedless deterministic sampling: keep a row iff a
+                        multiplicative-congruential hash of its id lands
+                        under the stratum's rate.  Unlike ``df.sample()``
+                        (partition-order-dependent RNG), the decision is a
+                        pure function of the id, so the sample is stable
+                        across partitioning, retries, and engines -- the
+                        property a 100 TB pipeline actually needs (re-runs
+                        and backfills must pick the SAME rows).
+* ``pack_by_budget`` -- assign documents to fixed-token-budget training
+                        shards via a per-group running sum: shard_id =
+                        floor(exclusive_cumsum(n_tokens) / budget).  The
+                        sequential greedy packer ("close shard when the next
+                        doc overflows") is inherently serial -- state at doc
+                        i depends on all i-1 predecessors -- so the
+                        distributed-native equivalent is cumulative-sum
+                        packing, which wastes at most one document's tokens
+                        per shard boundary and is a single window pass.
+
+Scale notes: ``pack_by_budget`` parallelizes across groups (the window
+partitions by ``group_col`` -- languages, sources, date buckets...).  For
+one giant group, the same math runs as a two-phase prefix sum
+(per-partition partials, broadcast offsets); the grouped shape is shipped
+because training shards are grouped in practice.  ``hash_sample`` is
+embarrassingly parallel.
+
+The hash is a two-round multiplicative-congruential mixer over the prime
+modulus P = 4294967291 (largest prime < 2^32) with multipliers < 2^31, so
+every intermediate product stays below 2^63: no overflow under Spark 4's
+ANSI mode, and DuckDB BIGINT replays it exactly (all values non-negative,
+so ``%`` == ``pmod``).
+
+Reference scope note: haskell-postgis (a geometry codec library) has no
+sampling/packing surface; these belong to the training-data-pipeline
+mandate (SURVEY.md section 2.3) layered on the codec core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import token_count
+
+_P = 4294967291          # largest prime below 2^32
+_M1 = 1597334677         # multipliers < 2^31: P * m < 2^63 (ANSI-safe)
+_C1 = 40503
+_M2 = 279470273
+PERMYRIAD = 10000        # rates are expressed per ten thousand
+
+
+def sample_bucket(id_col: Column) -> Column:
+    """Deterministic bucket in [0, 10000) -- a pure function of the id."""
+    h = F.pmod(id_col, F.lit(_P))
+    h = F.pmod(h * _M1 + _C1, F.lit(_P))
+    h = F.pmod(h * _M2, F.lit(_P))
+    return F.pmod(h, F.lit(PERMYRIAD))
+
+
+def sample_bucket_sql(id_expr: str) -> str:
+    """The identical bucket computation in DuckDB SQL."""
+    return (f"(((({id_expr}) % {_P}) * {_M1} + {_C1}) % {_P} * {_M2} "
+            f"% {_P}) % {PERMYRIAD}")
+
+
+def hash_sample(df: DataFrame, rates: dict[str, int],
+                id_col: str = "doc_id", stratum_col: str = "lang",
+                default_rate: int = 0) -> DataFrame:
+    """Stratified deterministic sample: keep a row iff
+    ``sample_bucket(id) < rates[stratum]`` (rates per-10000).  Strata
+    missing from ``rates`` fall back to ``default_rate``.  Adds the
+    ``bucket`` column (useful for audit / consistent sub-sampling: a 5%%
+    sample is a strict subset of the 10%% sample by construction)."""
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
+    return (
+        df.withColumn("bucket", sample_bucket(F.col(id_col)))
+        .where(F.col("bucket") < rate)
+    )
+
+
+def hash_sample_case_sql(rates: dict[str, int], stratum_col: str = "lang",
+                         default_rate: int = 0) -> str:
+    cases = " ".join(f"WHEN {stratum_col} = '{s}' THEN {r}"
+                     for s, r in sorted(rates.items()))
+    return f"CASE {cases} ELSE {default_rate} END"
+
+
+def pack_by_budget(df: DataFrame, budget: int = 512,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   group_col: str = "lang") -> DataFrame:
+    """Token-budget shard assignment: within each group (ordered by id),
+    shard_id = exclusive-running-sum(n_tokens) DIV budget.  A document
+    never splits across shards; a document longer than the budget owns
+    one-plus shards' worth of one shard (standard no-split semantics).
+    Adds ``n_tokens`` and ``shard_id``.  Integer-only arithmetic."""
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        df.withColumn("n_tokens", token_count(F.col(text_col)).cast("bigint"))
+        .withColumn("__cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("shard_id", F.expr(f"CAST(__cum DIV {budget} AS BIGINT)"))
+        .drop("__cum")
+    )

@@ -138,6 +138,46 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
     return counts.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document top-k salient terms by TF-IDF: (doc_id, term, tf,
+    doc_freq, rank, score).
+
+    The idf factor is the BM25-style RATIONAL odds form
+        score = tf * (N - doc_freq + 0.5) / (doc_freq + 0.5)
+               = tf * (2N - 2*doc_freq + 1) / (2*doc_freq + 1)
+    rather than the log form: numerator and denominator are exact small
+    integers, so the score is ONE IEEE division of exact operands --
+    bit-identical in Spark and DuckDB (the repo float-parity policy), where
+    ln() differs in the last ulp between libm implementations.  Ranking is
+    integer-deterministic (tf desc, doc_freq asc, term asc), so the top-k
+    cut never depends on float comparison.
+
+    Scale shape: tokenize+explode is map-side; the (doc, term) count and
+    the doc_freq count are two map-side-combined aggregates; N arrives via
+    a crossJoin with a 1-row aggregate (broadcast by the planner); top-k is
+    one window pass partitioned by doc -- no driver actions, no Python."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda w: w != "")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    ndocs = tf.select(F.countDistinct(id_col).alias("__n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term").crossJoin(ndocs)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .withColumn("score",
+                    (F.col("tf") * (2 * F.col("__n") - 2 * F.col("doc_freq") + 1)
+                     ).cast("double") / (2 * F.col("doc_freq") + 1).cast("double"))
+        .select(id_col, "term", "tf", "doc_freq", "rank", "score")
+    )
+
+
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (

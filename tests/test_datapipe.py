@@ -362,3 +362,124 @@ def test_top_ngrams(spark, docs):
     # (per-partition partial top-k), not a full sort of all distinct ngrams
     plan = top_ngrams(docs, n=2, k=20)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# -- round-3 curation / clustering / temporal operators ----------------------
+
+def test_connected_components_hand_graph(spark):
+    """Chain + separate pair + triangle: labels must be component minima,
+    and a long chain must converge well inside max_rounds (pointer jumping
+    gives O(log diameter))."""
+    from spatial.datapipe.cluster import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 120)]          # diameter 20
+    extra = [(5, 7), (7, 9), (9, 5), (1, 2)]               # triangle + pair
+    pairs = spark.createDataFrame(chain + extra, ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs, max_rounds=10).collect()}
+    for i in range(100, 121):
+        assert got[i] == 100
+    assert got[5] == got[7] == got[9] == 5
+    assert got[1] == got[2] == 1
+
+
+def test_dedup_assign_one_keep_per_cluster(spark, near_dup_docs):
+    from spatial.datapipe.cluster import dedup_assign
+
+    pairs = minhash_dedup_pairs(near_dup_docs, threshold=0.5)
+    out = dedup_assign(near_dup_docs, pairs).collect()
+    # every row labeled; exactly one keep per cluster; keeps are minima
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1 and keeps[0]["doc_id"] == cid
+        assert cid == min(m["doc_id"] for m in members)
+    assert len(out) == near_dup_docs.count()
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive match at equal ts, largest-tiebreak right row wins,
+    no-prior-row -> null, tolerance nulls stale matches."""
+    from datetime import datetime as dt
+
+    from spatial.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0, 0), 100, 1.0),
+         (1, dt(2024, 1, 1, 10, 0, 0), 101, 2.0),   # same ts: 101 wins
+         (1, dt(2024, 1, 1, 12, 0, 0), 102, 3.0),
+         (2, dt(2024, 1, 1, 9, 0, 0), 200, 9.0)],
+        ["user_id", "ts", "event_id", "value"])
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0, 0), 1),    # equal ts -> inclusive, id 101
+         (1, dt(2024, 1, 1, 11, 0, 0), 2),    # between -> id 101
+         (1, dt(2024, 1, 1, 13, 0, 0), 3),    # after -> id 102
+         (2, dt(2024, 1, 1, 8, 0, 0), 4),     # before any -> null
+         (3, dt(2024, 1, 1, 8, 0, 0), 5)],    # no right rows -> null
+        ["user_id", "ts", "lid"])
+    out = {r["lid"]: r for r in
+           asof_join(left, right, on=["user_id"],
+                     value_cols=["event_id", "value"],
+                     right_tiebreak="event_id").collect()}
+    assert out[1]["asof_event_id"] == 101 and out[1]["asof_value"] == 2.0
+    assert out[2]["asof_event_id"] == 101
+    assert out[3]["asof_event_id"] == 102 and out[3]["asof_value"] == 3.0
+    assert out[4]["asof_event_id"] is None
+    assert out[5]["asof_event_id"] is None
+    # tolerance: the 13:00 click is 1h after the 12:00 purchase; 30min tol
+    tol = {r["lid"]: r for r in
+           asof_join(left, right, on=["user_id"],
+                     value_cols=["event_id"], right_tiebreak="event_id",
+                     tolerance_s=1800).collect()}
+    assert tol[1]["asof_event_id"] == 101      # 0s old: kept
+    assert tol[3]["asof_event_id"] is None     # 3600s old: nulled
+
+
+def test_pack_by_budget_properties(spark, docs):
+    from spatial.datapipe.curation import pack_by_budget
+
+    out = pack_by_budget(docs, budget=200).orderBy("lang", "doc_id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_group.items():
+        cum = 0
+        for r in rows:
+            assert r["shard_id"] == cum // 200   # exclusive-cumsum contract
+            cum += r["n_tokens"]
+        shard_ids = [r["shard_id"] for r in rows]
+        assert shard_ids == sorted(shard_ids)    # monotone within group
+
+
+def test_hash_sample_deterministic_and_nested(spark, docs):
+    """The 10%% sample is a strict superset of the 5%% sample, and the
+    sampled id set is invariant under repartitioning (pure function of id
+    -- the property df.sample() does NOT have)."""
+    from spatial.datapipe.curation import hash_sample
+
+    ids5 = {r["doc_id"] for r in
+            hash_sample(docs, {}, default_rate=500).select("doc_id").collect()}
+    ids10 = {r["doc_id"] for r in
+             hash_sample(docs, {}, default_rate=1000).select("doc_id").collect()}
+    assert ids5 <= ids10 and len(ids10) > len(ids5) > 0
+    again = {r["doc_id"] for r in
+             hash_sample(docs.repartition(7), {}, default_rate=1000)
+             .select("doc_id").collect()}
+    assert again == ids10
+
+
+def test_tfidf_topk_contract(spark, docs):
+    from spatial.datapipe.textstats import tfidf_topk
+
+    out = tfidf_topk(docs, k=3).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in per_doc.items():
+        assert len(rows) <= 3
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        for r in rows:
+            num = r["tf"] * (2 * len(per_doc) - 2 * r["doc_freq"] + 1)
+            assert r["score"] == num / (2 * r["doc_freq"] + 1)
