@@ -1305,6 +1305,26 @@ def q_stratified_sample(spark, sf_dir):
     return hash_sample(d, rates).select("doc_id", "lang", "bucket")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set DECONTAMINATION: test docs whose character-shingle sets are
+    >=80%% contained in a training doc (containment, not Jaccard -- a short
+    benchmark item inside a long crawled page is still contamination).
+    Train corpus = even-id documents with a trailing edit planted at
+    id+1e6; expected hits = all 250 planted twins plus organic near-dup
+    pairs. Oracle: the shared rolling-shingle-hash SQL replay over the
+    combined corpus, identical max_df boilerplate guard, exact count-ratio
+    division (one IEEE division of exact integers)."""
+    from spatial.datapipe.decontam import contamination_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    train = (d.where(F.col("doc_id") % 2 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+             .withColumn("text", F.concat(F.col("text"),
+                                          F.lit(" extra trailing tokens"))))
+    return contamination_pairs(d, train, threshold=0.8, shingle_k=8,
+                               max_df=100)
+
+
 def q_stream_geo_tiles(spark, sf_dir):
     """STREAMING geo pipeline oracle: the synthetic pages corpus written to
     parquet, consumed incrementally (availableNow, 4 files per trigger so
@@ -1445,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_shards": q_pack_shards,
         "q_tfidf_topk": q_tfidf_topk,
         "q_stratified_sample": q_stratified_sample,
+        "q_decontaminate": q_decontaminate,
         "q1_pricing_summary": q1_pricing_summary,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_window_topk_orders": q_window_topk_orders,
@@ -1459,7 +1480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geojson_roundtrip": q_geojson_roundtrip,
         "q_pg_field_roundtrip": q_pg_field_roundtrip,
         "q_geom_accessors": q_geom_accessors,
-        "q_token_count_bpe": q_token_count_bpe,
         "q_top_bigrams": q_top_bigrams,
         "q_lang_rollup": q_lang_rollup,
         "q_exact_dedup": q_exact_dedup,
@@ -1493,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_simplify": q_st_simplify,
         "q_st_envelope": q_st_envelope,
         "q_pivot_event_counts": q_pivot_event_counts,
+        "q_token_count_bpe": q_token_count_bpe,
         "q_token_count": q_token_count,
         "q_knn_planar": q_knn_planar,
         "q_semi_join_orders": q_semi_join_orders,
@@ -1557,6 +1578,17 @@ def _dedup_clusters_oracle() -> str:
 SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
        c.id = c.cluster_id AS keep
 FROM __cc c JOIN __sz s USING (cluster_id)"""
+
+
+def _decontaminate_oracle() -> str:
+    from spatial.datapipe.decontam import contamination_oracle_sql
+
+    cte = """SELECT doc_id AS id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000 AS id,
+                       text || ' extra trailing tokens' AS text
+      FROM documents WHERE doc_id % 2 = 0"""
+    return contamination_oracle_sql(cte, "id < 1000000", "id >= 1000000",
+                                    threshold=0.8, shingle_k=8, max_df=100)
 
 
 def _stratified_sample_oracle() -> str:
@@ -2088,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, doc_freq, rank, score
             FROM __ranked WHERE rank <= 3""",
         "q_stratified_sample": _stratified_sample_oracle(),
+        "q_decontaminate": _decontaminate_oracle(),
         "q_simhash_pairs": _simhash_oracle(),
         "q_embedding_dups": _embedding_dups_oracle(),
         "q_multimodal_features": _multimodal_oracle(),

@@ -184,6 +184,33 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
     timed("ann_bruteforce",
           lambda: cosine_topk_bruteforce(emb, Q, k=10).count())
 
+    # round-3 pipeline operators: pairs -> connected components (the full
+    # dedup resolve), shingle-containment decontamination, as-of join
+    from spatial.asof import asof_join
+    from spatial.datapipe.cluster import connected_components
+    from spatial.datapipe.decontam import contamination_pairs
+
+    d_txt = docs.select("doc_id", "text")
+    timed("dedup_cluster_resolve",
+          lambda: connected_components(
+              minhash_dedup_pairs(d_txt, threshold=0.7,
+                                  num_perm=64, bands=16)).count())
+    train = (d_txt.where(F.col("doc_id") % 2 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+             .withColumn("text", F.concat(F.col("text"),
+                                          F.lit(" extra trailing tokens"))))
+    timed("decontaminate",
+          lambda: contamination_pairs(d_txt, train, threshold=0.8,
+                                      shingle_k=8, max_df=100).count())
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase") \
+             .select("event_id", "user_id", "ts", "value")
+    timed("asof_join",
+          lambda: asof_join(clicks, buys, on=["user_id"],
+                            value_cols=["value"],
+                            right_tiebreak="event_id").count())
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": ("spatial-join + tile-assignment pipeline throughput "

@@ -55,18 +55,30 @@ _M2 = 279470273
 PERMYRIAD = 10000        # rates are expressed per ten thousand
 
 
-def sample_bucket(id_col: Column) -> Column:
-    """Deterministic bucket in [0, 10000) -- a pure function of the id."""
+def mix_hash(id_col: Column) -> Column:
+    """Two-round multiplicative-congruential mix of a non-negative id into
+    [0, P) -- every intermediate < 2^63 (ANSI-safe), exactly replayable in
+    BIGINT SQL."""
     h = F.pmod(id_col, F.lit(_P))
     h = F.pmod(h * _M1 + _C1, F.lit(_P))
-    h = F.pmod(h * _M2, F.lit(_P))
-    return F.pmod(h, F.lit(PERMYRIAD))
+    return F.pmod(h * _M2, F.lit(_P))
+
+
+def mix_hash_sql(id_expr: str) -> str:
+    """The identical mix in DuckDB SQL (all values non-negative, so ``%``
+    coincides with pmod)."""
+    return (f"(((({id_expr}) % {_P}) * {_M1} + {_C1}) % {_P} * {_M2} "
+            f"% {_P})")
+
+
+def sample_bucket(id_col: Column) -> Column:
+    """Deterministic bucket in [0, 10000) -- a pure function of the id."""
+    return F.pmod(mix_hash(id_col), F.lit(PERMYRIAD))
 
 
 def sample_bucket_sql(id_expr: str) -> str:
     """The identical bucket computation in DuckDB SQL."""
-    return (f"(((({id_expr}) % {_P}) * {_M1} + {_C1}) % {_P} * {_M2} "
-            f"% {_P}) % {PERMYRIAD}")
+    return f"{mix_hash_sql(id_expr)} % {PERMYRIAD}"
 
 
 def hash_sample(df: DataFrame, rates: dict[str, int],

@@ -483,3 +483,36 @@ def test_tfidf_topk_contract(spark, docs):
         for r in rows:
             num = r["tf"] * (2 * len(per_doc) - 2 * r["doc_freq"] + 1)
             assert r["score"] == num / (2 * r["doc_freq"] + 1)
+
+
+def test_contamination_pairs_planted(spark):
+    """Planted contamination: a benchmark doc embedded in a longer train
+    page is caught by containment (would be missed by symmetric Jaccard at
+    the same threshold); disjoint docs produce no pair; the max_df guard
+    drops ubiquitous shingles from candidate generation."""
+    from spatial.datapipe.decontam import contamination_pairs
+
+    bench = ("which planet in our solar system has the most moons and "
+             "what is its largest moon called by astronomers")
+    test = spark.createDataFrame(
+        [(1, bench),
+         (2, "completely unrelated text about cooking pasta at home "
+             "with garlic and olive oil for dinner tonight")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(10, "crawled page header junk " + bench + " crawled page "
+              "footer junk with more boilerplate"),
+         (11, "another page about gardening tips for spring flowers "
+              "and vegetable beds in cold climates")],
+        ["doc_id", "text"])
+    out = contamination_pairs(test, train, threshold=0.8, shingle_k=8,
+                              max_df=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["test_id"], r["train_id"]) == (1, 10)
+    assert r["ratio"] >= 0.99  # fully embedded -> near-total containment
+    # symmetric check: train doc is NOT >=80% contained in the test doc,
+    # so direction matters (containment, not Jaccard)
+    rev = contamination_pairs(
+        train, test, threshold=0.8, shingle_k=8, max_df=100).collect()
+    assert rev == []
