@@ -1325,6 +1325,25 @@ def q_decontaminate(spark, sf_dir):
                                max_df=100)
 
 
+def q_approx_distinct(spark, sf_dir):
+    """Deterministic-HLL approximate COUNT DISTINCT (event_ids per
+    event_type), exact distinct alongside for visible calibration. Every
+    bit reproducible: prime-modulus mix hash, integer CASE-ladder rho,
+    INTEGER harmonic sum (order-independent, unlike a float sum of 2^-M
+    terms), ONE IEEE division at the end (the repo float-parity policy).
+    Spark's built-in approx_count_distinct (HLL++) can never be oracled
+    this way -- its hash and bias tables differ from DuckDB's."""
+    from spatial.datapipe.sketches import approx_count_distinct
+
+    ev = _events(spark, sf_dir).select("event_type", "event_id")
+    sk = approx_count_distinct(ev, "event_id", ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct"))
+    return sk.join(exact, "event_type").select(
+        "event_type", "harmonic_sum", "n_registers_hit",
+        "approx_distinct", "exact_distinct")
+
+
 def q_stream_geo_tiles(spark, sf_dir):
     """STREAMING geo pipeline oracle: the synthetic pages corpus written to
     parquet, consumed incrementally (availableNow, 4 files per trigger so
@@ -1466,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_stratified_sample": q_stratified_sample,
         "q_decontaminate": q_decontaminate,
+        "q_approx_distinct": q_approx_distinct,
         "q1_pricing_summary": q1_pricing_summary,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_window_topk_orders": q_window_topk_orders,
@@ -1589,6 +1609,21 @@ def _decontaminate_oracle() -> str:
       FROM documents WHERE doc_id % 2 = 0"""
     return contamination_oracle_sql(cte, "id < 1000000", "id >= 1000000",
                                     threshold=0.8, shingle_k=8, max_df=100)
+
+
+def _approx_distinct_oracle() -> str:
+    from spatial.datapipe.sketches import approx_count_distinct_sql
+
+    sketch = approx_count_distinct_sql(
+        "SELECT event_type, event_id FROM events", "event_id",
+        ["event_type"], p=8)
+    return f"""
+WITH __sk AS ({sketch}),
+__ex AS (SELECT event_type, COUNT(DISTINCT event_id) AS exact_distinct
+         FROM events GROUP BY event_type)
+SELECT s.event_type, s.harmonic_sum, s.n_registers_hit,
+       s.approx_distinct, e.exact_distinct
+FROM __sk s JOIN __ex e USING (event_type)"""
 
 
 def _stratified_sample_oracle() -> str:
@@ -2121,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
             FROM __ranked WHERE rank <= 3""",
         "q_stratified_sample": _stratified_sample_oracle(),
         "q_decontaminate": _decontaminate_oracle(),
+        "q_approx_distinct": _approx_distinct_oracle(),
         "q_simhash_pairs": _simhash_oracle(),
         "q_embedding_dups": _embedding_dups_oracle(),
         "q_multimodal_features": _multimodal_oracle(),

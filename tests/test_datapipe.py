@@ -516,3 +516,24 @@ def test_contamination_pairs_planted(spark):
     rev = contamination_pairs(
         train, test, threshold=0.8, shingle_k=8, max_df=100).collect()
     assert rev == []
+
+
+def test_approx_distinct_sketch(spark):
+    """Deterministic HLL: estimate within the raw-estimator error band,
+    bit-identical across partitionings, and invariant under duplication
+    (a sketch property no sampling-based estimator has)."""
+    from pyspark.sql import functions as F
+
+    from spatial.datapipe.sketches import approx_count_distinct
+
+    n = 5000
+    df = (spark.range(n)
+          .select(F.lit("a").alias("g"), F.col("id").alias("v")))
+    out = approx_count_distinct(df, "v", ["g"], p=8).collect()[0]
+    assert abs(out["approx_distinct"] - n) / n < 0.2  # ~3 sigma at m=256
+    out2 = approx_count_distinct(df.repartition(13), "v", ["g"],
+                                 p=8).collect()[0]
+    assert (out["harmonic_sum"], out["approx_distinct"]) == \
+        (out2["harmonic_sum"], out2["approx_distinct"])
+    out3 = approx_count_distinct(df.union(df), "v", ["g"], p=8).collect()[0]
+    assert out3["harmonic_sum"] == out["harmonic_sum"]
