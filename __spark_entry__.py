@@ -1344,6 +1344,61 @@ def q_approx_distinct(spark, sf_dir):
         "approx_distinct", "exact_distinct")
 
 
+def q_interval_join(spark, sf_dir):
+    """Distributed RANGE JOIN via 1-D bucket expansion (the spatial cell
+    join dropped to one dimension): clicks landing inside the 30-minute
+    window before a purchase by the same user. Points get one bucket,
+    intervals explode into covered buckets, equi-join refines with the
+    exact BETWEEN -- each pair meets in exactly one bucket, no dedup.
+    Integer-seconds algebra throughout (unix_timestamp truncation ==
+    DuckDB FLOOR(EPOCH())); the naive formulation would plan as a
+    per-user cross product."""
+    from spatial.intervals import interval_point_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.unix_timestamp("ts").alias("click_ts_s"))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        (F.unix_timestamp("ts") - 1800).alias("lo_s"),
+        F.unix_timestamp("ts").alias("hi_s"))
+    j = interval_point_join(clicks, buys, on=["user_id"],
+                            point_ts="click_ts_s", lo="lo_s", hi="hi_s",
+                            bucket_s=1800)
+    return j.select("click_id", "user_id", "click_ts_s",
+                    "purchase_id", "lo_s", "hi_s")
+
+
+def q_interval_overlap(spark, sf_dir):
+    """INTERVAL x INTERVAL overlap join via shared-bucket meeting: signup
+    windows [ts, ts+1h] overlapping error windows [ts, ts+15min] for the
+    same user. A pair shares every common bucket; the canonical-bucket
+    predicate greatest(lo_a, lo_b) DIV width == bucket keeps exactly one
+    copy with no distinct pass."""
+    from spatial.intervals import interval_overlap_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_dir)
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.unix_timestamp("ts").alias("s_lo"),
+        (F.unix_timestamp("ts") + 3600).alias("s_hi"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.unix_timestamp("ts").alias("e_lo"),
+        (F.unix_timestamp("ts") + 900).alias("e_hi"))
+    j = interval_overlap_join(signups, errors, on=["user_id"],
+                              left_lo="s_lo", left_hi="s_hi",
+                              right_lo="e_lo", right_hi="e_hi",
+                              bucket_s=3600)
+    return j.select("signup_id", "user_id", "s_lo", "s_hi",
+                    "error_id", "e_lo", "e_hi")
+
+
 def q_stream_geo_tiles(spark, sf_dir):
     """STREAMING geo pipeline oracle: the synthetic pages corpus written to
     parquet, consumed incrementally (availableNow, 4 files per trigger so
@@ -1486,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_decontaminate": q_decontaminate,
         "q_approx_distinct": q_approx_distinct,
+        "q_interval_join": q_interval_join,
+        "q_interval_overlap": q_interval_overlap,
         "q1_pricing_summary": q1_pricing_summary,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_window_topk_orders": q_window_topk_orders,
@@ -2157,6 +2214,31 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": _stratified_sample_oracle(),
         "q_decontaminate": _decontaminate_oracle(),
         "q_approx_distinct": _approx_distinct_oracle(),
+        "q_interval_join": """
+            WITH c AS (SELECT event_id AS click_id, user_id,
+                              CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS click_ts_s
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id AS purchase_id, user_id,
+                         CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1800 AS lo_s,
+                         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS hi_s
+                  FROM events WHERE event_type = 'purchase')
+            SELECT c.click_id, c.user_id, c.click_ts_s,
+                   p.purchase_id, p.lo_s, p.hi_s
+            FROM c JOIN p ON c.user_id = p.user_id
+                         AND c.click_ts_s BETWEEN p.lo_s AND p.hi_s""",
+        "q_interval_overlap": """
+            WITH s AS (SELECT event_id AS signup_id, user_id,
+                              CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s_lo,
+                              CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 3600 AS s_hi
+                       FROM events WHERE event_type = 'signup'),
+            e AS (SELECT event_id AS error_id, user_id,
+                         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS e_lo,
+                         CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 900 AS e_hi
+                  FROM events WHERE event_type = 'error')
+            SELECT s.signup_id, s.user_id, s.s_lo, s.s_hi,
+                   e.error_id, e.e_lo, e.e_hi
+            FROM s JOIN e ON s.user_id = e.user_id
+                         AND s.s_lo <= e.e_hi AND e.e_lo <= s.s_hi""",
         "q_simhash_pairs": _simhash_oracle(),
         "q_embedding_dups": _embedding_dups_oracle(),
         "q_multimodal_features": _multimodal_oracle(),

@@ -210,6 +210,17 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
           lambda: asof_join(clicks, buys, on=["user_id"],
                             value_cols=["value"],
                             right_tiebreak="event_id").count())
+    from spatial.intervals import interval_point_join
+    cpts = clicks.select(F.col("event_id").alias("click_id"), "user_id",
+                         F.unix_timestamp("ts").alias("click_ts_s"))
+    ivls = buys.select(F.col("event_id").alias("purchase_id"),
+                       F.col("user_id"),
+                       (F.unix_timestamp("ts") - 1800).alias("lo_s"),
+                       F.unix_timestamp("ts").alias("hi_s"))
+    timed("interval_join",
+          lambda: interval_point_join(cpts, ivls, on=["user_id"],
+                                      point_ts="click_ts_s", lo="lo_s",
+                                      hi="hi_s", bucket_s=1800).count())
 
     total = round(sum(timings.values()), 3)
     return {
