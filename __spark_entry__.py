@@ -1486,6 +1486,154 @@ def q_moving_avg(spark, sf_dir):
                      F.round(s / c, 6).alias("mavg"))
 
 
+# ---------------------------------------------------------------------------
+# round-3 session-2 additions
+# ---------------------------------------------------------------------------
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over a deterministic link graph on
+    `documents` (spatial/datapipe/graph.py). Power-of-two out-degrees +
+    3/4 damping make every float op exact (dyadic rationals within 53-bit
+    range), so the iterative join/groupBy-sum loop is bit-identical to the
+    DuckDB CTE replay at any partitioning -- an iterative dataflow under
+    the exact-oracle gate."""
+    from spatial.datapipe.graph import pagerank_docs
+    return pagerank_docs(spark, sf_dir, iterations=3)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters on events.user_id (d=4, w=1024
+    integer cells -- bounded state at any scale), with the exact per-key
+    count joined alongside for calibration. CM never underestimates, so
+    est_count >= n_exact row by row; the oracle replays the sketch in
+    BIGINT SQL."""
+    from spatial.datapipe.sketches import heavy_hitters
+    ev = _events(spark, sf_dir)
+    hh = heavy_hitters(ev, "user_id", threshold=60, d=4, w=1024)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    return (hh.join(exact, "user_id")
+            .select("user_id", "est_count", "n_exact"))
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-prefiltered exact semi-join (spatial/datapipe/bloomjoin.py):
+    orders of BUILDING-segment customers. The 8 KB filter kills
+    non-matching probe rows inside the scan before any shuffle; the exact
+    join removes false positives, so the result equals the plain semi-join
+    -- which is precisely what the oracle SQL asserts."""
+    from spatial.datapipe.bloomjoin import bloom_semi_join
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .where(F.col("c_mktsegment") == "BUILDING"))
+    hits = bloom_semi_join(o, c, "o_custkey", "c_custkey",
+                           m_bits=1 << 13, k=3)
+    return (hits.groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+                 .alias("revenue")))
+
+
+def q_geohash(spark, sf_dir):
+    """Geohash encode (PostGIS ST_GeoHash analog, spatial/geohash.py):
+    pure-JVM Morton interleave + base32 render, staged projections. The
+    prefix column demonstrates the hierarchy property (first p chars = the
+    parent cell) that makes geohash a range-partitioning key. Pinned
+    against public test vectors in tests/test_cells.py."""
+    from spatial.geohash import with_geohash
+    ev = _events(spark, sf_dir).select(
+        "event_id", _lon().alias("lon"), _lat().alias("lat"))
+    out = with_geohash(ev, "lon", "lat", precision=9)
+    return out.select("event_id", "geohash",
+                      F.substring("geohash", 1, 4).alias("gh4"))
+
+
+def q_bbox_iou(spark, sf_dir):
+    """Envelope algebra (intersection area / IoU) between a per-event box
+    and a fixed query box: min/max + mul/add and ONE division -- bit-exact
+    per the float-parity policy. The viewport/tile filtering primitive and
+    the geometry twin of detection-style IoU."""
+    from spatial.kernels import bbox_intersection_area, bbox_iou
+    qb = (-10.0, -10.0, 30.5, 20.25)
+    ev = _events(spark, sf_dir).select(
+        "event_id", _lon().alias("x"), _lat().alias("y"))
+    ax, ay = F.col("x"), F.col("y")
+    bx, by_ = ax + F.lit(0.5), ay + F.lit(0.25)
+    args = (ax, ay, bx, by_, F.lit(qb[0]), F.lit(qb[1]),
+            F.lit(qb[2]), F.lit(qb[3]))
+    return ev.select(
+        "event_id",
+        bbox_intersection_area(*args).alias("inter_area"),
+        bbox_iou(*args).alias("iou"))
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage aggregation (spatial/datapipe/skew.py): salt by
+    mix_hash(o_orderkey) % 16, partial-aggregate per (key, salt), then
+    re-aggregate. COUNT + DECIMAL SUM + MIN/MAX are exactly decomposable,
+    so salted == plain GROUP BY bit for bit -- the oracle runs the PLAIN
+    aggregation."""
+    from spatial.datapipe.skew import salted_agg
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return salted_agg(o, ["o_orderpriority"], "o_orderkey",
+                      sum_col="o_totalprice", buckets=16)
+
+
+def q_histogram(spark, sf_dir):
+    """Fixed-bin histogram of events.value (16 bins of dyadic width 32.0):
+    the distributed quantile-summary primitive -- one map-side-combinable
+    aggregate, at most n_bins rows out, quantiles read off cumulative
+    counts with no sort of the data."""
+    from spatial.datapipe.sketches import fixed_histogram
+    ev = _events(spark, sf_dir)
+    return fixed_histogram(ev, "value", lo=0.0, width=32.0, n_bins=16)
+
+
+def q_geom_edit(spark, sf_dir):
+    """Geometry editors as pure-column struct rewrites (kernels.py:
+    st_translate/st_scale/st_reverse_line/st_point_n -- the PostGIS editor
+    surface the reference's dead Vector.hs intended): translate(0.5,-0.25)
+    then scale(2,4) then reverse a 3-vertex LineString; emit vertex
+    accessors. Dyadic factors keep every double exact."""
+    from spatial.kernels import (st_end_point, st_num_points, st_point_n,
+                                 st_reverse_line, st_scale, st_start_point,
+                                 st_translate)
+    ev = _events(spark, sf_dir)
+    ls = F.struct(
+        F.lit(2).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(_lon(), _lon() + 1.0, _lon() + 2.0).alias("xs"),
+        F.array(_lat(), _lat() - 1.0, _lat() + 1.0).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(3)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    df = ev.select("event_id", ls.alias("geom"))
+    edited = df.select(
+        "event_id",
+        st_reverse_line(st_scale(st_translate(F.col("geom"), 0.5, -0.25),
+                                 2.0, 4.0)).alias("g"))
+    sx, sy = st_start_point(F.col("g"))
+    mx, my = st_point_n(F.col("g"), 2)
+    ex, ey = st_end_point(F.col("g"))
+    return edited.select(
+        "event_id", st_num_points(F.col("g")).alias("n_points"),
+        sx.alias("start_x"), sy.alias("start_y"),
+        mx.alias("mid_x"), my.alias("mid_y"),
+        ex.alias("end_x"), ey.alias("end_y"))
+
+
+def q_url_domains(spark, sf_dir):
+    """URL analytics over the synthetic Common-Crawl pages (the
+    BASELINE.json input shape): host/TLD extraction + per-TLD rollup with
+    two-phase distinct-host counting (spatial/datapipe/urls.py). Pure-JVM
+    regex/string columns; identical expressions replayed in DuckDB."""
+    from spatial.datapipe.urls import domain_rollup
+    from spatial.synth import synth_pages
+    pages = synth_pages(spark, 2000)
+    return domain_rollup(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -1543,6 +1691,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": q_approx_distinct,
         "q_interval_join": q_interval_join,
         "q_interval_overlap": q_interval_overlap,
+        "q_pagerank": q_pagerank,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_bloom_semi_join": q_bloom_semi_join,
+        "q_geohash": q_geohash,
+        "q_salted_agg": q_salted_agg,
+        "q_url_domains": q_url_domains,
+        "q_histogram": q_histogram,
         "q1_pricing_summary": q1_pricing_summary,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_window_topk_orders": q_window_topk_orders,
@@ -1595,6 +1750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_planar": q_knn_planar,
         "q_semi_join_orders": q_semi_join_orders,
         "q_grid_cell_agg": q_grid_cell_agg,
+        "q_bbox_iou": q_bbox_iou,
+        "q_geom_edit": q_geom_edit,
     }
 
 
@@ -1708,6 +1865,58 @@ def _embedding_dups_oracle() -> str:
       FROM embeddings"""
     return embedding_dups_oracle_sql(emb_cte, dim=64, threshold=0.999,
                                      n_planes=12, n_tables=6)
+
+
+def _pagerank_oracle() -> str:
+    from spatial.datapipe.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(iterations=3)
+
+
+def _heavy_hitters_oracle() -> str:
+    from spatial.datapipe.sketches import heavy_hitters_oracle_sql
+
+    hh = heavy_hitters_oracle_sql("SELECT user_id FROM events", "user_id",
+                                  threshold=60, d=4, w=1024)
+    return f"""
+SELECT h.user_id, h.est_count, e.n_exact
+FROM ({hh}) h
+JOIN (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id) e
+  USING (user_id)"""
+
+
+def _geohash_oracle() -> str:
+    from spatial.geohash import geohash_oracle_sql
+
+    inner = geohash_oracle_sql(
+        f"SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events",
+        "lon", "lat", precision=9, extra_cols="event_id, ")
+    return f"""
+SELECT event_id, geohash, SUBSTRING(geohash, 1, 4) AS gh4
+FROM ({inner}) __g"""
+
+
+def _salted_agg_oracle() -> str:
+    from spatial.datapipe.skew import plain_agg_oracle_sql
+
+    return plain_agg_oracle_sql("SELECT * FROM orders", ["o_orderpriority"],
+                                sum_col="o_totalprice")
+
+
+def _url_domains_oracle() -> str:
+    from spatial.datapipe.urls import domain_rollup_oracle_sql
+    from spatial.synth import pages_values_sql
+
+    pages = (f"SELECT url, text FROM (VALUES {pages_values_sql(2000)}) "
+             f"AS __pages(url, text)")
+    return domain_rollup_oracle_sql(pages)
+
+
+def _histogram_oracle() -> str:
+    from spatial.datapipe.sketches import fixed_histogram_sql
+
+    return fixed_histogram_sql("SELECT value FROM events", "value",
+                               lo=0.0, width=32.0, n_bins=16)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2239,6 +2448,55 @@ def oracle_sql() -> dict[str, str]:
                    e.error_id, e.e_lo, e.e_hi
             FROM s JOIN e ON s.user_id = e.user_id
                          AND s.s_lo <= e.e_hi AND e.e_lo <= s.s_hi""",
+        "q_pagerank": _pagerank_oracle(),
+        "q_heavy_hitters": _heavy_hitters_oracle(),
+        "q_bloom_semi_join": """
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_custkey""",
+        "q_geohash": _geohash_oracle(),
+        "q_salted_agg": _salted_agg_oracle(),
+        "q_url_domains": _url_domains_oracle(),
+        "q_histogram": _histogram_oracle(),
+        "q_bbox_iou": f"""
+            WITH __b AS (
+              SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y FROM events),
+            __w AS (
+              SELECT event_id, x, y,
+                     GREATEST(0.0, LEAST(x + 0.5, 30.5)
+                              - GREATEST(x, -10.0)) AS w,
+                     GREATEST(0.0, LEAST(y + 0.25, 20.25)
+                              - GREATEST(y, -10.0)) AS h
+              FROM __b),
+            __i AS (
+              SELECT event_id, w * h AS inter,
+                     ((x + 0.5) - x) * ((y + 0.25) - y) AS a1
+              FROM __w)
+            SELECT event_id, inter AS inter_area,
+                   CASE WHEN (a1 + ((30.5 - (-10.0)) * (20.25 - (-10.0))))
+                             - inter > 0.0
+                        THEN inter /
+                             ((a1 + ((30.5 - (-10.0)) * (20.25 - (-10.0))))
+                              - inter)
+                        ELSE 0.0 END AS iou
+            FROM __i""",
+        "q_geom_edit": f"""
+            WITH __p AS (
+              SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat
+              FROM events)
+            SELECT event_id,
+                   CAST(3 AS BIGINT) AS n_points,
+                   ((lon + 2.0) + 0.5) * 2.0 AS start_x,
+                   ((lat + 1.0) + (-0.25)) * 4.0 AS start_y,
+                   ((lon + 1.0) + 0.5) * 2.0 AS mid_x,
+                   ((lat - 1.0) + (-0.25)) * 4.0 AS mid_y,
+                   (lon + 0.5) * 2.0 AS end_x,
+                   (lat + (-0.25)) * 4.0 AS end_y
+            FROM __p""",
         "q_simhash_pairs": _simhash_oracle(),
         "q_embedding_dups": _embedding_dups_oracle(),
         "q_multimodal_features": _multimodal_oracle(),

@@ -1,0 +1,146 @@
+"""Distributed PageRank over a document link graph -- fixed-iteration,
+bit-exact, under the driver's exact-oracle gate.
+
+A web-scale corpus pipeline ranks pages by link authority (quality signal
+for curation / sampling weights).  PageRank is the canonical iterative
+dataflow: per round, every node's rank is scattered along its out-edges
+and gathered by destination -- in Spark, one join (edge x rank) plus one
+groupBy-sum per iteration, both shuffling only ``(node_id, double)`` pairs.
+
+Bit-exactness construction (the repo float-parity policy demands every
+oracle be IEEE-exactly reproducible; a float PageRank normally is NOT,
+because float sums are order-dependent).  This implementation makes every
+float operation EXACT, so aggregation order cannot matter:
+
+* out-degrees are powers of two (2/4/8 by ``id % 3``), so each edge
+  contribution ``rank / outdeg`` is an exact binary scaling;
+* damping is 3/4: ``new = 1/4 + (3/4) * s`` multiplies by 3 (integer) and
+  rescales by a power of two -- exact while operands stay in range;
+* by induction every rank after iteration k is a multiple of 2^-5k (three
+  bits from /8, two from *3/4), bounded by total mass N: with k=3
+  iterations and N < 2^24 nodes the values need at most 24+15 < 53
+  mantissa bits, so EVERY partial sum is exact and order-independent --
+  Spark and DuckDB produce bit-identical doubles regardless of
+  partitioning or aggregation order.
+
+The edge list is synthesized deterministically from node ids (the same
+``mix_hash`` both engines replay), so the whole operator -- graph
+construction + 3 iterations -- is a closed-form SQL replay.
+
+100 TB shape: ranks and edges shuffle as bare longs/doubles (payloads
+never enter the loop); the gather is a map-side-combinable sum keyed by
+destination; lineage is truncated with ``localCheckpoint`` each round so
+the plan stays O(1) across iterations (the cluster.py discipline).  On a
+real cluster, co-partitioning edges and ranks by the join key makes the
+scatter shuffle-free after round one (edges are loop-invariant and cached;
+ranks arrive already hash-partitioned by the previous gather).
+
+Reference scope note: haskell-postgis is a geometry codec library; graph
+analytics belong to the training-data-pipeline mandate (SURVEY.md
+section 2.3) layered on the codec core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .curation import mix_hash, mix_hash_sql
+
+DAMP_NUM, DAMP_DEN = 3, 4          # damping 3/4: dyadic-exact
+_TELEPORT = 1.0 / DAMP_DEN         # (1 - d) = 1/4, exact
+_MAX_OUTDEG = 8                    # outdeg in {2, 4, 8} = 2^(1 + id % 3)
+
+
+def synth_edges(nodes: DataFrame, id_col: str = "doc_id",
+                n_nodes: int | None = None) -> DataFrame:
+    """Deterministic link graph over ``nodes``: node i emits
+    ``2^(1 + i % 3)`` edges whose destinations are ``mix_hash(i*16 + j)
+    mod N`` -- a pure function of the id, identically replayable in SQL.
+    Self-loops and duplicate targets are legal (contribution weight is
+    1/outdeg per EDGE, multiplicity included, on both sides)."""
+    if n_nodes is None:
+        n_nodes = nodes.count()          # bounded scalar action
+    # F.shiftleft's Python signature wants an int shift; SQL takes a column
+    deg = F.expr(f"CAST(shiftleft(1, CAST(1 + {id_col} % 3 AS INT)) AS BIGINT)")
+    return (
+        nodes.select(F.col(id_col).alias("src"), deg.alias("outdeg"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(_MAX_OUTDEG - 1))))
+        .where(F.col("j") < F.col("outdeg"))
+        .withColumn("dst", F.pmod(mix_hash(F.col("src") * 16 + F.col("j")),
+                                  F.lit(n_nodes)))
+        .select("src", "dst", "outdeg")
+    )
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_id",
+             iterations: int = 3, checkpoint: bool = True) -> DataFrame:
+    """Fixed-iteration PageRank; returns (id_col, pagerank).  Dangling
+    nodes (no out-edges) simply leak mass, as in the classic formulation;
+    the synthesized graph has none (every node has outdeg >= 2)."""
+    ids = nodes.select(F.col(id_col).alias("id"))
+    ranks = ids.withColumn("r", F.lit(1.0))
+    e = edges.select(F.col("src").alias("id"), "dst", "outdeg")
+    for _ in range(iterations):
+        gathered = (
+            e.join(ranks, "id")
+            .select("dst", (F.col("r") / F.col("outdeg")).alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ids.join(gathered, ids["id"] == gathered["dst"], "left")
+            .select(ids["id"],
+                    (F.lit(_TELEPORT)
+                     + F.lit(float(DAMP_NUM) / DAMP_DEN)
+                     * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"))
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(F.col("id").alias(id_col),
+                        F.col("r").alias("pagerank"))
+
+
+def pagerank_docs(spark: SparkSession, sf_dir: str,
+                  iterations: int = 3) -> DataFrame:
+    """The driver query body: synthesize the link graph over ``documents``
+    and rank it; output (doc_id, outdeg, pagerank)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    edges = synth_edges(docs, n_nodes=n)
+    pr = pagerank(docs, edges, iterations=iterations)
+    # outdeg is a pure function of the id: a column, not a self-join
+    deg = F.expr("CAST(shiftleft(1, CAST(1 + doc_id % 3 AS INT)) AS BIGINT)")
+    return pr.select("doc_id", deg.alias("outdeg"), "pagerank")
+
+
+def pagerank_oracle_sql(iterations: int = 3) -> str:
+    """The identical graph + iterations as chained DuckDB CTEs.  Every
+    float value is a dyadic rational within exact range (see module
+    docstring), so SUM order cannot change a bit."""
+    dst = f"({mix_hash_sql('(d.doc_id * 16 + t.j)')}) % (SELECT n FROM __n)"
+    ctes = [
+        "__n AS (SELECT COUNT(*) AS n FROM documents)",
+        f"""__edges AS MATERIALIZED (
+  SELECT d.doc_id AS src, {dst} AS dst,
+         CAST(1 << CAST(1 + d.doc_id % 3 AS INT) AS BIGINT) AS outdeg
+  FROM documents d, (SELECT UNNEST(range({_MAX_OUTDEG})) AS j) t
+  WHERE t.j < (1 << CAST(1 + d.doc_id % 3 AS INT)))""",
+        "__r0 AS (SELECT doc_id AS id, CAST(1 AS DOUBLE) AS r FROM documents)",
+    ]
+    d_num = f"CAST({DAMP_NUM} AS DOUBLE) / {DAMP_DEN}"
+    tele = f"CAST(1 AS DOUBLE) / {DAMP_DEN}"
+    for k in range(1, iterations + 1):
+        ctes.append(f"""__g{k} AS (
+  SELECT e.dst AS id, SUM(r.r / e.outdeg) AS s
+  FROM __edges e JOIN __r{k - 1} r ON e.src = r.id GROUP BY e.dst)""")
+        ctes.append(f"""__r{k} AS (
+  SELECT d.doc_id AS id,
+         {tele} + {d_num} * COALESCE(g.s, CAST(0 AS DOUBLE)) AS r
+  FROM documents d LEFT JOIN __g{k} g ON d.doc_id = g.id)""")
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block}
+SELECT d.doc_id,
+       CAST(1 << CAST(1 + d.doc_id % 3 AS INT) AS BIGINT) AS outdeg,
+       r.r AS pagerank
+FROM documents d JOIN __r{iterations} r ON d.doc_id = r.id"""

@@ -132,6 +132,164 @@ def approx_count_distinct(df: DataFrame, value_col: str,
     )
 
 
+def _cm_chain(x0: Column) -> Column:
+    """The lowbias32 xorshift-multiply chain over an initial 32-bit value,
+    as one nested expression (bounded depth: 5 rounds)."""
+    x = x0
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = (x * _MUL1).bitwiseAND(F.lit(_MASK))
+    x = x.bitwiseXOR(F.shiftright(x, 15))
+    x = (x * _MUL2).bitwiseAND(F.lit(_MASK))
+    x = x.bitwiseXOR(F.shiftright(x, 15))
+    return x
+
+
+_CM_SALT = 0x9E3779B1    # row salt; row < d <= 8 so x0 + row*salt < 2^36
+
+
+def _cm_bucket(key: Column, row: Column, w: int) -> Column:
+    """Bucket of ``key`` under hash row ``row``: fold the id to 32 bits,
+    add a per-row salt, run the non-linear chain, reduce mod w.  The chain
+    is non-linear, so the d rows are decorrelated (an affine salt alone
+    would collapse -- the HLL lattice lesson above)."""
+    k32 = F.shiftright(key, 32).bitwiseXOR(key).bitwiseAND(F.lit(_MASK))
+    x0 = (k32 + row * F.lit(_CM_SALT)).bitwiseAND(F.lit(_MASK))
+    return F.pmod(_cm_chain(x0), F.lit(w))
+
+
+def _cm_bucket_sql(key: str, row: str, w: int) -> str:
+    steps = f"(xor(({key} >> 32), {key}) & {_MASK})"
+    x = f"(({steps} + {row} * {_CM_SALT}) & {_MASK})"
+    for s in [f"xor(__X, (__X >> 16))", f"((__X * {_MUL1}) & {_MASK})",
+              f"xor(__X, (__X >> 15))", f"((__X * {_MUL2}) & {_MASK})",
+              f"xor(__X, (__X >> 15))"]:
+        x = s.replace("__X", x)
+    return f"({x} % {w})"
+
+
+def cm_sketch(df: DataFrame, key_col: str, d: int = 4,
+              w: int = 1024) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies: a (row, bucket, cnt)
+    table with at most d*w cells TOTAL regardless of input size.  Exact
+    integer counts -> bit-reproducible at any partitioning.
+
+    100 TB shape: the explode-by-d rows feed a two-level hash aggregate;
+    map-side combine collapses every partition to <= d*w cells before the
+    shuffle, so the shuffle volume is O(partitions * d * w), independent
+    of row count -- the canonical distributed-sketch plan (same as HLL
+    above)."""
+    rows = df.select(F.col(key_col).alias("__k")).withColumn(
+        "row", F.explode(F.sequence(F.lit(0), F.lit(d - 1))))
+    return (
+        rows.select("row", _cm_bucket(F.col("__k"), F.col("row"), w)
+                    .alias("bucket"))
+        .groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_estimate(sketch: DataFrame, candidates: DataFrame, key_col: str,
+                d: int = 4, w: int = 1024) -> DataFrame:
+    """Point-estimate counts for ``candidates`` (one key per row) against a
+    built sketch: est = min over the d rows of the hashed cell's count.
+    The sketch side is <= d*w cells -- always broadcast-able; candidates
+    stream through without shuffling."""
+    probes = candidates.select(F.col(key_col)).withColumn(
+        "row", F.explode(F.sequence(F.lit(0), F.lit(d - 1))))
+    probes = probes.withColumn(
+        "bucket", _cm_bucket(F.col(key_col), F.col("row"), w))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, threshold: int,
+                  d: int = 4, w: int = 1024) -> DataFrame:
+    """Keys whose count-min estimate reaches ``threshold`` (CM never
+    underestimates, so recall is 1.0 by construction; false positives are
+    bounded by the d,w choice).  Candidate generation here enumerates
+    distinct keys -- at 100 TB the candidate set comes from a cheap
+    prefilter (hash_sample of the keyspace or the previous day's hitters);
+    the sketch itself is the bounded-state operator either way."""
+    sketch = cm_sketch(df, key_col, d=d, w=w)
+    cand = df.select(key_col).distinct()
+    return (cm_estimate(sketch, cand, key_col, d=d, w=w)
+            .where(F.col("est_count") >= threshold))
+
+
+def heavy_hitters_oracle_sql(table_sql: str, key_col: str, threshold: int,
+                             d: int = 4, w: int = 1024) -> str:
+    """The identical sketch + estimate in BIGINT DuckDB SQL."""
+    b_build = _cm_bucket_sql(key_col, "t.j", w)
+    return f"""
+WITH __rows AS (SELECT UNNEST(range({d})) AS j),
+__cells AS (
+  SELECT t.j AS row, {b_build} AS bucket, COUNT(*) AS cnt
+  FROM ({table_sql}) __src, __rows t
+  GROUP BY 1, 2
+),
+__cand AS (SELECT DISTINCT {key_col} FROM ({table_sql}) __src2),
+__probe AS (
+  SELECT c.{key_col}, t.j AS row, {_cm_bucket_sql(f'c.{key_col}', 't.j', w)} AS bucket
+  FROM __cand c, __rows t
+),
+__est AS (
+  SELECT p.{key_col},
+         MIN(COALESCE(s.cnt, 0)) AS est_count
+  FROM __probe p LEFT JOIN __cells s
+    ON p.row = s.row AND p.bucket = s.bucket
+  GROUP BY p.{key_col}
+)
+SELECT {key_col}, est_count FROM __est WHERE est_count >= {threshold}"""
+
+
+def fixed_histogram(df: DataFrame, value_col: str, lo: float, width: float,
+                    n_bins: int) -> DataFrame:
+    """Fixed-bin histogram of a double column: bin = clamp(floor((v - lo) /
+    width)), plus per-bin count and min/max.  With a dyadic ``width`` the
+    bin computation is mul/add + floor -- deterministic IEEE ops replayed
+    identically in SQL; counts are integers and min/max of doubles are
+    order-independent, so the whole summary is bit-reproducible.
+
+    This is the distributed quantile-summary primitive: one map-side
+    combinable aggregate with at most n_bins output rows; quantiles read
+    off the cumulative counts without a sort of the data."""
+    inv = 1.0 / width                 # exact for dyadic width
+    raw = F.floor((F.col(value_col) - F.lit(lo)) * F.lit(inv))
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).cast("long")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(bin_.alias("bin"), F.col(value_col).alias("__v"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"),
+             F.min("__v").alias("v_min"), F.max("__v").alias("v_max"))
+        .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(width))
+        .select("bin", "bin_lo", "n", "v_min", "v_max")
+    )
+
+
+def fixed_histogram_sql(table_sql: str, value_col: str, lo: float,
+                        width: float, n_bins: int) -> str:
+    """The identical binning in DuckDB SQL (same op order; sql_double
+    renders the float constants exactly)."""
+    from ..synth import sql_double
+
+    inv = sql_double(1.0 / width)
+    lo_s = sql_double(lo)
+    w_s = sql_double(width)
+    raw = f"FLOOR(({value_col} - {lo_s}) * {inv})"
+    bin_ = f"CAST(GREATEST(0, LEAST({n_bins - 1}, {raw})) AS BIGINT)"
+    return f"""
+WITH __b AS (
+  SELECT {bin_} AS bin, {value_col} AS __v
+  FROM ({table_sql}) __src WHERE {value_col} IS NOT NULL
+)
+SELECT bin, {lo_s} + bin * {w_s} AS bin_lo, COUNT(*) AS n,
+       MIN(__v) AS v_min, MAX(__v) AS v_max
+FROM __b GROUP BY bin"""
+
+
 def approx_count_distinct_sql(table_sql: str, value_col: str,
                               group_cols: Sequence[str] = (),
                               p: int = 8) -> str:

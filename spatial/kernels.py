@@ -848,3 +848,105 @@ def st_clip_bbox_udf(minx: float, miny: float, maxx: float, maxy: float):
         return pd.DataFrame(rows, columns=GEOMETRY_FIELDS)
 
     return st_clip_bbox
+
+
+# ---------------------------------------------------------------------------
+# geometry editors: pure-column struct rewrites (no UDF, no Python)
+# ---------------------------------------------------------------------------
+# PostGIS-analog editors over the SoA struct (ST_Reverse / ST_Translate /
+# ST_Scale / ST_PointN / ST_StartPoint / ST_EndPoint / ST_NumPoints).  The
+# reference's dead Vector.hs wanted exactly this vector-space surface
+# (Vector.hs:31-46, AffineSpace/VectorSpace instances); here each editor is
+# a higher-order-function rewrite of the coordinate arrays inside
+# whole-stage codegen -- F.transform / F.reverse / element_at, zero Python,
+# zero shuffles, so the editors compose freely inside 100 TB scans.
+
+
+def _geom_rebuild(geom: Column, xs: Column, ys: Column) -> Column:
+    """Rebuild the GEOMETRY struct with new coordinate arrays (zs/ms and
+    offsets unchanged)."""
+    return F.struct(
+        geom["gtype"].alias("gtype"), geom["srid"].alias("srid"),
+        geom["has_z"].alias("has_z"), geom["has_m"].alias("has_m"),
+        xs.alias("xs"), ys.alias("ys"),
+        geom["zs"].alias("zs"), geom["ms"].alias("ms"),
+        geom["ring_offsets"].alias("ring_offsets"),
+        geom["part_offsets"].alias("part_offsets"),
+    )
+
+
+def st_translate(geom: Column, dx: float, dy: float) -> Column:
+    """ST_Translate: add (dx, dy) to every coordinate.  With dyadic deltas
+    the doubles stay IEEE-exact (the oracle replays the same adds)."""
+    return _geom_rebuild(
+        geom,
+        F.transform(geom["xs"], lambda v: v + F.lit(dx)),
+        F.transform(geom["ys"], lambda v: v + F.lit(dy)))
+
+
+def st_scale(geom: Column, sx: float, sy: float) -> Column:
+    """ST_Scale about the origin (compose with st_translate for an
+    arbitrary anchor)."""
+    return _geom_rebuild(
+        geom,
+        F.transform(geom["xs"], lambda v: v * F.lit(sx)),
+        F.transform(geom["ys"], lambda v: v * F.lit(sy)))
+
+
+def st_reverse_line(geom: Column) -> Column:
+    """ST_Reverse for single-ring geometries (Point/LineString/single
+    ring): reverse the coordinate arrays.  Multi-ring reversal must
+    reverse WITHIN each ring span -- that variant lives with the batch
+    kernels; the driver-oracled editor covers the LineString case the
+    tiling pipeline uses."""
+    return _geom_rebuild(geom, F.reverse(geom["xs"]), F.reverse(geom["ys"]))
+
+
+def st_num_points(geom: Column) -> Column:
+    return F.size(geom["xs"]).cast("long")
+
+
+def st_point_n(geom: Column, n: int) -> tuple[Column, Column]:
+    """1-based vertex accessor (ST_PointN); returns (x, y) columns (null
+    beyond range, like PostGIS -- try_element_at, because plain element_at
+    raises under ANSI mode)."""
+    return (F.try_element_at(geom["xs"], F.lit(n)),
+            F.try_element_at(geom["ys"], F.lit(n)))
+
+
+def st_start_point(geom: Column) -> tuple[Column, Column]:
+    return st_point_n(geom, 1)
+
+
+def st_end_point(geom: Column) -> tuple[Column, Column]:
+    return (F.try_element_at(geom["xs"], F.lit(-1)),
+            F.try_element_at(geom["ys"], F.lit(-1)))
+
+
+# ---------------------------------------------------------------------------
+# envelope algebra: intersection / union area, IoU (pure columns)
+# ---------------------------------------------------------------------------
+# Axis-aligned box algebra is the workhorse of tile/viewport filtering and
+# of detection-style pipelines (IoU over image regions -- the multimodal
+# mandate's geometry twin).  mul/add + min/max only, plus ONE division for
+# the ratio: bit-exact cross-engine per the repo float-parity policy.
+
+
+def bbox_intersection_area(aminx: Column, aminy: Column, amaxx: Column,
+                           amaxy: Column, bminx: Column, bminy: Column,
+                           bmaxx: Column, bmaxy: Column) -> Column:
+    w = F.greatest(F.lit(0.0), F.least(amaxx, bmaxx) - F.greatest(aminx, bminx))
+    h = F.greatest(F.lit(0.0), F.least(amaxy, bmaxy) - F.greatest(aminy, bminy))
+    return w * h
+
+
+def bbox_iou(aminx: Column, aminy: Column, amaxx: Column, amaxy: Column,
+             bminx: Column, bminy: Column, bmaxx: Column,
+             bmaxy: Column) -> Column:
+    """Intersection-over-union of two boxes; null-safe 0/0 -> 0."""
+    inter = bbox_intersection_area(aminx, aminy, amaxx, amaxy,
+                                   bminx, bminy, bmaxx, bmaxy)
+    a1 = (amaxx - aminx) * (amaxy - aminy)
+    a2 = (bmaxx - bminx) * (bmaxy - bminy)
+    union = a1 + a2 - inter
+    return F.when(union > 0.0, inter / union).otherwise(F.lit(0.0))
