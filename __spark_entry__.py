@@ -1220,6 +1220,72 @@ def q_stream_stateful(spark, sf_dir):
             .agg(F.max("n_events").alias("n_events")))
 
 
+def q_stream_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM join under the oracle gate
+    (streaming.join_event_streams): view events matched with click events
+    of the same user within 4 hours after them, availableNow file source,
+    append-mode memory sink. State on both sides is watermark-bounded
+    (the interval predicate makes right-side eviction possible), so the
+    same program holds on an unbounded stream; on this finite input the
+    result must equal the batch interval join, replayed in DuckDB at full
+    microsecond timestamp precision."""
+    import tempfile
+    import uuid
+
+    from spatial.streaming import join_event_streams, run_available_now
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    # parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP -- with the
+    # session pinned to UTC the cast is value-identical
+    views = stream.where(F.col("event_type") == "view") \
+                  .select("event_id", "user_id",
+                          F.col("ts").cast("timestamp").alias("ts"))
+    clicks = stream.where(F.col("event_type") == "click") \
+                   .select("event_id", "user_id",
+                           F.col("ts").cast("timestamp").alias("ts"))
+    joined = join_event_streams(views, clicks, key_col="user_id",
+                                within="4 hours", watermark="2 hours")
+    out = joined.select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.unix_timestamp("ts").alias("view_ts_s"),
+        F.col("event_id_r").alias("click_id"),
+        F.unix_timestamp("ts_r").alias("click_ts_s"))
+    name = "q_stream_join_" + uuid.uuid4().hex[:10]
+    run_available_now(out, tempfile.mkdtemp(prefix="q_stream_join_"),
+                      name, output_mode="append")
+    return spark.table(name)
+
+
+def q_stream_dedup(spark, sf_dir):
+    """STREAMING deduplication under the oracle gate (streaming.
+    dedup_stream = dropDuplicatesWithinWatermark): the distinct
+    (user_id, event_type) key set emitted incrementally with
+    watermark-evicted state. Watermark exceeds the input's event-time span
+    here, so nothing expires and the emitted set equals batch SELECT
+    DISTINCT bit-exactly (each key emits exactly once)."""
+    import tempfile
+    import uuid
+
+    from spatial.streaming import dedup_stream, run_available_now
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dd = dedup_stream(
+        stream.select("user_id", "event_type",
+                      F.col("ts").cast("timestamp").alias("ts")),
+        ["user_id", "event_type"], ts_col="ts", watermark="2400 hours")
+    out = dd.select("user_id", "event_type")
+    name = "q_stream_dedup_" + uuid.uuid4().hex[:10]
+    run_available_now(out, tempfile.mkdtemp(prefix="q_stream_dedup_"),
+                      name, output_mode="append")
+    return spark.table(name)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER resolution: the verified MinHash pair graph (same
     construction as q_minhash_pairs) resolved to connected components by
@@ -1623,6 +1689,21 @@ def q_geom_edit(spark, sf_dir):
         ex.alias("end_x"), ey.alias("end_y"))
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style per-document repetition filters (textstats.
+    repetition_signals): chars in the most-repeated word bigram and the
+    duplicated-trigram char fraction. ZERO-shuffle design -- gram arrays
+    are sorted and run-length-counted in one higher-order aggregate() per
+    row (whole-stage codegen), where the naive explode+groupBy(doc, gram)
+    would shuffle ~2x the corpus at 10^12 docs. Fractions are single
+    IEEE divisions of exact integers (float-parity policy), so the DuckDB
+    replay (which uses the explode+GROUP BY form -- different plan, same
+    integers) matches bit-exactly."""
+    from spatial.datapipe.textstats import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def q_url_domains(spark, sf_dir):
     """URL analytics over the synthetic Common-Crawl pages (the
     BASELINE.json input shape): host/TLD extraction + per-TLD rollup with
@@ -1752,6 +1833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_cell_agg": q_grid_cell_agg,
         "q_bbox_iou": q_bbox_iou,
         "q_geom_edit": q_geom_edit,
+        "q_repetition_signals": q_repetition_signals,
+        "q_stream_join": q_stream_join,
+        "q_stream_dedup": q_stream_dedup,
     }
 
 
@@ -2542,4 +2626,70 @@ def oracle_sql() -> dict[str, str]:
         # force), so the identical oracle proves the distributed-query-side
         # path under the driver gate too
         "q_knn_distributed": knn_brute_oracle,
+        # the engine computes these per-row with a zero-shuffle sorted
+        # run-length aggregate; the oracle replays them with the explode +
+        # GROUP BY form. Different plan, identical integers -- fractions
+        # are single exact-operand IEEE divisions on both sides.
+        "q_repetition_signals": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                                    '[^a-z]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            wc AS (
+              SELECT doc_id,
+                     CAST(COALESCE(list_sum(list_transform(ts,
+                                                           t -> LENGTH(t))),
+                                   0) AS BIGINT) AS word_chars
+              FROM toks),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(ts) - 1),
+                                           i -> ts[i] || ' ' || ts[i+1])) AS g
+              FROM toks WHERE len(ts) >= 2),
+            c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2
+                   GROUP BY doc_id, g),
+            t2 AS (SELECT doc_id, MAX(c * (LENGTH(g) - 1)) AS top2 FROM c2
+                   GROUP BY doc_id),
+            g3 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(ts) - 2),
+                                           i -> ts[i] || ' ' || ts[i+1]
+                                                || ' ' || ts[i+2])) AS g
+              FROM toks WHERE len(ts) >= 3),
+            c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3
+                   GROUP BY doc_id, g),
+            t3 AS (SELECT doc_id,
+                          SUM(CASE WHEN c >= 2 THEN c * (LENGTH(g) - 2)
+                              ELSE 0 END) AS dup3,
+                          SUM(c * (LENGTH(g) - 2)) AS all3
+                   FROM c3 GROUP BY doc_id)
+            SELECT w.doc_id, w.word_chars,
+                   CASE WHEN w.word_chars > 0 AND t2.top2 IS NOT NULL
+                        THEN CAST(t2.top2 AS DOUBLE)
+                             / CAST(w.word_chars AS DOUBLE)
+                        ELSE 0.0 END AS top2_char_frac,
+                   CASE WHEN t3.all3 > 0
+                        THEN CAST(t3.dup3 AS DOUBLE)
+                             / CAST(t3.all3 AS DOUBLE)
+                        ELSE 0.0 END AS dup3_char_frac
+            FROM wc w
+            LEFT JOIN t2 USING (doc_id)
+            LEFT JOIN t3 USING (doc_id)""",
+        # finite-input stream-stream join == batch interval join (Spark's
+        # unified-semantics contract); timestamps compare at microseconds
+        "q_stream_join": """
+            SELECT v.user_id,
+                   v.event_id AS view_id,
+                   CAST(FLOOR(EPOCH(v.ts)) AS BIGINT) AS view_ts_s,
+                   c.event_id AS click_id,
+                   CAST(FLOOR(EPOCH(c.ts)) AS BIGINT) AS click_ts_s
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON v.user_id = c.user_id
+             AND c.ts >= v.ts
+             AND c.ts <= v.ts + INTERVAL 4 HOUR""",
+        "q_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events""",
     }

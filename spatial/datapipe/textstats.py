@@ -186,3 +186,109 @@ def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(t))
         .withColumn("fp64", fingerprint64(t))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (zero-shuffle per-document design)
+# ---------------------------------------------------------------------------
+
+def _grams_from(toks: Column, n: int) -> Column:
+    """Word n-grams from an already-tokenized array column (same windowing
+    as ``ngrams``, without re-splitting the text)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                     for j in range(n)]))
+    return F.when(F.size(toks) >= n, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def _rep_rle(sorted_grams: Column, n: int) -> Column:
+    """Run-length scan over a SORTED gram array -> struct(top, dup, total):
+    ``top``   = chars in the most repeated n-gram (count * gram chars,
+                separator spaces excluded),
+    ``dup``   = chars across n-grams occurring >= 2 times,
+    ``total`` = chars across all n-gram occurrences.
+    All integers -- the fractions downstream are ONE exact-operand IEEE
+    division each (repo float-parity policy). Equal grams are adjacent
+    after array_sort, so one aggregate() pass with a (prev, run) carry
+    counts every gram's occurrences without any shuffle."""
+    zero = F.lit(0).cast("long")
+
+    def close(acc):
+        # chars contributed by the run that just ended (0 when run == 0)
+        return acc["run"] * (F.length(acc["prev"]) - (n - 1))
+
+    def merge(acc, g):
+        same = acc["prev"] == g
+        c = close(acc)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+             .alias("run"),
+            F.when(same, acc["top"]).otherwise(F.greatest(acc["top"], c))
+             .alias("top"),
+            F.when(same | (acc["run"] < 2), acc["dup"]).otherwise(acc["dup"] + c)
+             .alias("dup"),
+            F.when(same, acc["total"]).otherwise(acc["total"] + c)
+             .alias("total"),
+        )
+
+    def finish(acc):
+        c = close(acc)
+        return F.struct(
+            F.greatest(acc["top"], c).alias("top"),
+            F.when(acc["run"] < 2, acc["dup"]).otherwise(acc["dup"] + c)
+             .alias("dup"),
+            (acc["total"] + c).alias("total"),
+        )
+
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("top"), zero.alias("dup"), zero.alias("total"))
+    return F.aggregate(sorted_grams, init, merge, finish)
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document repetition metrics a la Gopher's quality filters:
+
+    * ``word_chars``     -- total chars across alphabetic tokens,
+    * ``top2_char_frac`` -- chars in the single most-repeated word bigram /
+                            word_chars,
+    * ``dup3_char_frac`` -- chars in word trigrams occurring >= 2 times /
+                            chars in all trigram occurrences.
+
+    Scale shape: repetition is PER-DOCUMENT state, so the whole computation
+    is a zero-shuffle column program -- tokenize, build the gram arrays,
+    array_sort them, and run-length-count in one higher-order aggregate()
+    per row (whole-stage codegen, no Python, no explode+groupBy shuffle of
+    the token stream). At 10^12 docs the alternative (explode grams +
+    groupBy(doc, gram)) shuffles ~2x the corpus; this shuffles nothing.
+    Fractions are exact-integer divisions (one IEEE op), hence bit-equal
+    to the DuckDB oracle replay.
+
+    Reference scope note: the reference (haskell-postgis) is a geometry
+    codec library with no text analytics; this operator belongs to the
+    engine's web-corpus curation surface (SURVEY.md section 2.3)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda w: w != "")
+    s1 = df.withColumn("__rp_t", toks)
+    t = F.col("__rp_t")
+    s2 = s1.withColumns({
+        "__rp_wc": F.coalesce(
+            F.aggregate(t, F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w)),
+            F.lit(0).cast("long")),
+        "__rp_a2": _rep_rle(F.array_sort(_grams_from(t, 2)), 2),
+        "__rp_a3": _rep_rle(F.array_sort(_grams_from(t, 3)), 3),
+    })
+    wc, a2, a3 = F.col("__rp_wc"), F.col("__rp_a2"), F.col("__rp_a3")
+    return s2.select(
+        F.col(id_col),
+        wc.alias("word_chars"),
+        F.when(wc > 0, a2["top"].cast("double") / wc.cast("double"))
+         .otherwise(F.lit(0.0)).alias("top2_char_frac"),
+        F.when(a3["total"] > 0,
+               a3["dup"].cast("double") / a3["total"].cast("double"))
+         .otherwise(F.lit(0.0)).alias("dup3_char_frac"),
+    )

@@ -110,6 +110,46 @@ def stateful_running_totals(events_stream: DataFrame,
     )
 
 
+def join_event_streams(left: DataFrame, right: DataFrame, key_col: str,
+                       ts_col: str = "ts", within: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (the attribution shape: match
+    each left event with right events of the same key that follow it within
+    ``within``). Right-side columns come back suffixed ``_r``.
+
+    Scale shape: both sides carry a watermark and the join predicate bounds
+    right's event time to a closed interval after left's, so Spark's
+    streaming symmetric hash join can evict state older than
+    watermark+interval -- state stays bounded no matter how long the
+    streams run (the unbounded-state join is the classic streaming
+    scale-killer). On a finite availableNow input the result equals the
+    batch join, which is what the driver oracle replays in SQL."""
+    r2 = (right.select([F.col(c).alias(f"{c}_r") for c in right.columns])
+          .withWatermark(f"{ts_col}_r", watermark))
+    l2 = left.withWatermark(ts_col, watermark)
+    cond = (
+        (F.col(key_col) == F.col(f"{key_col}_r"))
+        & (F.col(f"{ts_col}_r") >= F.col(ts_col))
+        & (F.col(f"{ts_col}_r")
+           <= F.col(ts_col) + F.expr(f"INTERVAL {within}"))
+    )
+    return l2.join(r2, cond, "inner")
+
+
+def dedup_stream(stream: DataFrame, key_cols: list[str],
+                 ts_col: str = "ts",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming DEDUPLICATION via ``dropDuplicatesWithinWatermark``: each
+    key emits once; state for keys older than the watermark horizon is
+    evicted, so memory stays bounded on an infinite stream (plain
+    ``dropDuplicates`` would grow state forever -- the scale trap this
+    wrapper exists to avoid). With a watermark longer than the input's
+    event-time span nothing expires and the emitted key set equals batch
+    ``SELECT DISTINCT`` exactly -- the driver-oracle configuration."""
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       out_table_name: str, output_mode: str = "update") -> None:
     """Process everything currently available, then stop (catch-up ingest).

@@ -537,3 +537,44 @@ def test_approx_distinct_sketch(spark):
         (out2["harmonic_sum"], out2["approx_distinct"])
     out3 = approx_count_distinct(df.union(df), "v", ["g"], p=8).collect()[0]
     assert out3["harmonic_sum"] == out["harmonic_sum"]
+
+
+def test_repetition_signals_hand_cases(spark):
+    """Hand-checked Gopher-style repetition metrics, incl. the degenerate
+    shapes (empty text, NULL text, fewer tokens than the gram width, an
+    all-repeats doc) and the zero-shuffle plan claim."""
+    from spatial.datapipe.textstats import repetition_signals
+
+    tiny = spark.createDataFrame(
+        [(0, "the cat sat the cat sat the cat sat"),
+         (1, "a b c d e f g"),
+         (2, "x x x x x x"),
+         (3, ""), (4, None), (5, "one two"), (6, "one")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(tiny).collect()}
+    # doc 0: tokens 9x3 chars = 27; bigrams: "the cat"x3 (6 chars, the
+    # separator space excluded), "cat sat"x3, "sat the"x2 -> top2 = 3*6
+    assert got[0]["word_chars"] == 27
+    assert got[0]["top2_char_frac"] == 18 / 27
+    # trigrams: "the cat sat"x3 (9), "cat sat the"x2, "sat the cat"x2 ->
+    # dup = 3*9 + 2*9 + 2*9 = 63 = all -> frac 1.0
+    assert got[0]["dup3_char_frac"] == 1.0
+    # doc 1: no repeats at all
+    assert got[1]["top2_char_frac"] == 2 / 7  # every bigram once: 1*2 / 7
+    assert got[1]["dup3_char_frac"] == 0.0
+    # doc 2: "x x" occurs 5x (3 chars each, minus separator -> 2*... ) ->
+    # top2 = 5 * 2 = 10 over 6 word chars (frac may exceed 1: overlapping
+    # occurrences -- same as Gopher's definition, a filter signal not a
+    # probability)
+    assert got[2]["top2_char_frac"] == 10 / 6
+    assert got[2]["dup3_char_frac"] == 1.0
+    for d in (3, 4):
+        assert got[d]["word_chars"] == 0
+        assert got[d]["top2_char_frac"] == 0.0
+        assert got[d]["dup3_char_frac"] == 0.0
+    assert got[5]["top2_char_frac"] == (1 * 6) / 6  # single bigram "one two"
+    assert got[6]["top2_char_frac"] == 0.0  # one token: no bigram
+    # zero-shuffle claim: the physical plan must contain NO exchange
+    plan = repetition_signals(tiny)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
