@@ -1704,6 +1704,27 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir))
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order storage-layout key (spatial/zorder.py -- the OPTIMIZE
+    ZORDER BY mechanism built from first principles): event points
+    Morton-interleaved at level 12, rolled up by the top-byte z-prefix
+    with per-prefix key ranges -- the statistics a reader's bbox predicate
+    prunes against. Quantization is add/div/mul/floor in a fixed op order
+    on integer-derived coords; the interleave is BIGINT bit math -- the
+    DuckDB oracle replays both verbatim."""
+    from spatial.zorder import with_zkey
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", _lon().alias("lon"), _lat().alias("lat"))
+    zk = with_zkey(ev, "lon", "lat", level=12)
+    return (
+        zk.groupBy(F.shiftright(F.col("zkey"), 16).alias("z_prefix"))
+        .agg(F.count("*").alias("n_points"),
+             F.min("zkey").alias("min_zkey"),
+             F.max("zkey").alias("max_zkey"))
+    )
+
+
 def q_url_domains(spark, sf_dir):
     """URL analytics over the synthetic Common-Crawl pages (the
     BASELINE.json input shape): host/TLD extraction + per-TLD rollup with
@@ -1836,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_signals": q_repetition_signals,
         "q_stream_join": q_stream_join,
         "q_stream_dedup": q_stream_dedup,
+        "q_zorder_layout": q_zorder_layout,
     }
 
 
@@ -2001,6 +2023,19 @@ def _histogram_oracle() -> str:
 
     return fixed_histogram_sql("SELECT value FROM events", "value",
                                lo=0.0, width=32.0, n_bins=16)
+
+
+def _zorder_oracle() -> str:
+    from spatial.zorder import zkey_oracle_sql
+
+    inner = zkey_oracle_sql("lon", "lat", level=12)
+    return f"""
+        WITH __zo_in AS (
+          SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+        zk AS ({inner})
+        SELECT zkey >> 16 AS z_prefix, COUNT(*) AS n_points,
+               MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey
+        FROM zk GROUP BY z_prefix"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2692,4 +2727,5 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts <= v.ts + INTERVAL 4 HOUR""",
         "q_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events""",
+        "q_zorder_layout": _zorder_oracle(),
     }

@@ -261,3 +261,71 @@ def test_bbox_iou_algebra(spark):
     assert (half["i"], half["iou"]) == (1.0, 1.0 / 3.0)
     degen = run((0, 0, 0, 0), (0, 0, 0, 0))   # zero-area boxes: 0/0 -> 0
     assert (degen["i"], degen["iou"]) == (0.0, 0.0)
+
+
+# -- z-order storage layout ---------------------------------------------------
+
+def test_zorder_key_parity_and_clamp(spark):
+    """zkey bit-parity with a NumPy replay of the same formula, incl. the
+    clamp edges (dateline, poles, out-of-range junk)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spatial.zorder import with_zkey, zkey_col
+
+    pts = [(-180.0, -90.0), (179.99, 89.99), (180.0, 90.0), (0.0, 0.0),
+           (-181.0, -91.0), (200.0, 95.0), (12.34, -56.78), (-0.01, 0.01)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    level, n = 12, 1 << 12
+    got = [r["zkey"]
+           for r in with_zkey(df, "lon", "lat", level).collect()]
+
+    def quant(c, lo, span):
+        q = np.floor((c - lo) / span * float(n))
+        return int(min(max(q, 0), n - 1))
+
+    exp = []
+    for lon, lat in pts:
+        x, y = quant(lon, -180.0, 360.0), quant(lat, -90.0, 180.0)
+        z = 0
+        for b in range(level):
+            z |= ((x >> b) & 1) << (2 * b + 1)
+            z |= ((y >> b) & 1) << (2 * b)
+        exp.append(z)
+    assert got == exp
+    # expression form agrees with the staged form
+    flat = [r["z"] for r in
+            df.select(zkey_col(F.col("lon"), F.col("lat"), level)
+                      .alias("z")).collect()]
+    assert flat == exp
+
+
+def test_zorder_write_clusters_disjoint_files(spark, tmp_path):
+    """write_zordered produces files owning DISJOINT zkey ranges (the
+    property that turns bbox predicates into file skips at scale), with
+    no rows lost."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from spatial.zorder import write_zordered
+
+    df = spark.range(5000).select(
+        ((F.col("id") * 7919 % 36000).cast("double") / 100.0 - 180.0)
+        .alias("lon"),
+        ((F.col("id") * 104729 % 17000).cast("double") / 100.0 - 85.0)
+        .alias("lat"))
+    out = str(tmp_path / "zo")
+    write_zordered(df, out, "lon", "lat", level=12, n_files=6)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 2
+    ranges, total = [], 0
+    for f in files:
+        pdf = spark.read.parquet(f).select("zkey").toPandas()
+        if len(pdf):
+            ranges.append((pdf["zkey"].min(), pdf["zkey"].max()))
+            total += len(pdf)
+    assert total == 5000
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file zkey ranges overlap"
