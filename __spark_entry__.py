@@ -713,6 +713,24 @@ def q_minhash_pairs(spark, sf_dir):
                                num_perm=64, bands=16)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """INCREMENTAL dedup (dedup.incremental_dup_pairs): a new ingest batch
+    (every 5th doc, mutated) checked against the existing corpus with NO
+    corpus x corpus work -- batch-side banded rows broadcast against the
+    corpus bucket index. Oracle: the full union-corpus minhash SQL
+    restricted to cross-corpus pairs, which the incremental plan must
+    reproduce exactly (same union bucket cap, same estimate prefilter,
+    same exact-Jaccard verify)."""
+    from spatial.datapipe.dedup import incremental_dup_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = (d.where(F.col("doc_id") % 5 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+             .withColumn("text", F.concat(F.col("text"), F.lit(" tail"))))
+    return incremental_dup_pairs(d, batch, threshold=0.7,
+                                 num_perm=64, bands=16)
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 3 via pigeonhole blocks). Oracle:
     full SQL replay (dedup.simhash_pairs_oracle_sql) -- same shingle hash,
@@ -1858,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_join": q_stream_join,
         "q_stream_dedup": q_stream_dedup,
         "q_zorder_layout": q_zorder_layout,
+        "q_incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1899,6 +1918,20 @@ def _minhash_oracle() -> str:
     cte = """SELECT doc_id AS id, text FROM documents
       UNION ALL SELECT doc_id + 1000000 AS id, text || ' tail' FROM documents"""
     return minhash_pairs_oracle_sql(cte, threshold=0.7, num_perm=64, bands=16)
+
+
+def _incremental_dedup_oracle() -> str:
+    from spatial.datapipe.dedup import minhash_pairs_oracle_sql
+
+    cte = """SELECT doc_id AS id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000 AS id, text || ' tail'
+      FROM documents WHERE doc_id % 5 = 0"""
+    inner = minhash_pairs_oracle_sql(cte, threshold=0.7, num_perm=64,
+                                     bands=16)
+    # the incremental plan emits exactly the cross-corpus slice of the
+    # full union pair set (corpus ids < 1e6 <= batch ids)
+    return (f"SELECT * FROM ({inner}) "
+            f"WHERE id_a < 1000000 AND id_b >= 1000000")
 
 
 def _simhash_oracle() -> str:
@@ -2728,4 +2761,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events""",
         "q_zorder_layout": _zorder_oracle(),
+        "q_incremental_dedup": _incremental_dedup_oracle(),
     }

@@ -687,3 +687,98 @@ def embedding_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def incremental_dup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    estimate_margin: float = 0.2,
+    corpus_sigs: DataFrame | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: which new-batch documents duplicate
+    the EXISTING corpus -- the production ingest shape (a crawl snapshot
+    lands; re-running all-pairs dedup over 10^12 docs per snapshot is not
+    an option). Returns (id_a = corpus doc, id_b = batch doc, jaccard).
+
+    Scale shape: no corpus x corpus work happens -- corpus signatures are
+    computed once (pass ``corpus_sigs``, in production a stored parquet
+    index bucketed by band slice) and only the BATCH side is sketched per
+    ingest. The candidate join is batch-banded-rows (broadcast: the batch
+    is small by definition) against the corpus bucket table, so cost is
+    proportional to batch size + matched buckets. The bucket cap counts
+    members across corpus UNION batch (a corpus-side count the index
+    maintains incrementally at scale), which keeps the result exactly the
+    cross-corpus slice of what full minhash_dedup_pairs over the union
+    would emit -- that identity is the driver-oracle contract.
+
+    Same empty-doc exclusion and float-parity properties as
+    minhash_dedup_pairs."""
+    from pyspark.sql.functions import broadcast
+
+    corpus = corpus.where(F.length(F.col(text_col)) > 0)
+    batch = batch.where(F.length(F.col(text_col)) > 0)
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+    mh = make_minhash_udf(num_perm, shingle_k)
+    if corpus_sigs is None:
+        corpus_sigs = corpus.select(F.col(id_col).alias("id"),
+                                    mh(F.col(text_col)).alias("sig"))
+    sig_c = corpus_sigs.select("id", "sig").persist()
+    sig_b = batch.select(F.col(id_col).alias("id"),
+                         mh(F.col(text_col)).alias("sig")).persist()
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.slice("sig", b * rpb + 1, rpb).alias("vals"))
+        for b in range(bands)
+    ]
+
+    def banded(s):
+        return s.select(
+            "id", F.explode(F.array(*band_structs)).alias("bucket"))
+
+    banded_c, banded_b = banded(sig_c), banded(sig_b)
+    counts = (banded_c.unionByName(banded_b)
+              .groupBy("bucket").agg(F.count("*").alias("n")))
+    ok = counts.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)) \
+               .select("bucket")
+    cand = (
+        banded_c.join(ok, "bucket", "left_semi")
+        .join(broadcast(banded_b.withColumnRenamed("id", "id_b")), "bucket")
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                        lambda x: x))
+        / F.lit(float(num_perm))
+    )
+    cand_est = (
+        cand.join(sig_c.select(F.col("id").alias("id_a"),
+                               F.col("sig").alias("sig_a")), "id_a")
+        .join(broadcast(sig_b.select(F.col("id").alias("id_b"),
+                                     F.col("sig").alias("sig_b"))), "id_b")
+        .where(est >= threshold - estimate_margin)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    cand_est.count()
+    sig_c.unpersist()
+    sig_b.unpersist()
+    jac = make_jaccard_udf(shingle_k)
+    t_c = corpus.select(F.col(id_col).alias("id_a"),
+                        F.col(text_col).alias("ta"))
+    t_b = batch.select(F.col(id_col).alias("id_b"),
+                       F.col(text_col).alias("tb"))
+    return (
+        cand_est.join(t_c, "id_a").join(broadcast(t_b), "id_b")
+        .withColumn("jaccard", jac("ta", "tb"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -578,3 +578,27 @@ def test_repetition_signals_hand_cases(spark):
     plan = repetition_signals(tiny)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_incremental_dedup_equals_cross_slice(spark, near_dup_docs):
+    """incremental_dup_pairs(corpus, batch) must equal the cross-corpus
+    slice of full minhash_dedup_pairs over the union -- the identity the
+    driver oracle also pins (same union bucket cap on both paths)."""
+    from pyspark.sql import functions as F
+
+    from spatial.datapipe.dedup import (incremental_dup_pairs,
+                                        minhash_dedup_pairs)
+
+    corpus = near_dup_docs
+    batch = (corpus.where(F.col("doc_id") % 3 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 500_000)
+             .withColumn("text", F.concat(F.col("text"), F.lit(" zz"))))
+    inc = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+           incremental_dup_pairs(corpus, batch, threshold=0.6,
+                                 num_perm=64, bands=16).collect()}
+    full = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            minhash_dedup_pairs(corpus.union(batch), threshold=0.6,
+                                num_perm=64, bands=16).collect()
+            if r["id_a"] < 500_000 <= r["id_b"]}
+    assert inc == full
+    assert len(inc) > 0  # planted mutations must actually fire
