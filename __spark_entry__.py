@@ -1743,6 +1743,46 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Raster z-pyramid (tiles.tile_pyramid): per-tile counts at zoom 8
+    rolled hierarchically down to zoom 3 -- the points shuffle once, each
+    coarser level aggregates the 4-children level below (tx>>1, ty>>1).
+    Power-of-two float scaling is rounding-free, so the hierarchical
+    indices equal direct assignment at every zoom; the oracle computes
+    each level directly from the raw points (different plan, identical
+    integers)."""
+    from spatial.tiles import tile_pyramid
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", _lon().alias("lon"), _lat().alias("lat"))
+    return tile_pyramid(ev, "lon", "lat", base_zoom=8, min_zoom=3)
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + exact dedup (urls.canonical_url /
+    canonical_dedup): four deterministic spellings per page -- case-variant
+    hosts, www., default ports, fragments, utm_* params, permuted query
+    strings, trailing slashes -- collapse to their RFC-3986-ish normal
+    form; groups count variants. Pure-JVM regex/array columns with the
+    identical shared-dialect expressions replayed in DuckDB."""
+    from spatial.datapipe.urls import canonical_dedup
+
+    ev = _events(spark, sf_dir)
+    k = F.expr("event_id DIV 4").cast("string")
+    v = F.col("event_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://Host"), k,
+                                F.lit(".com/p/a?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTPS://www.host"), k,
+                               F.lit(".com:443/p/a/?a=1&utm_source=x&b=2#frag")))
+        .when(v == 2, F.concat(F.lit("https://HOST"), k,
+                               F.lit(".COM:443/p/a?utm_campaign=yy&b=2&a=1")))
+        .otherwise(F.concat(F.lit("http://host"), k,
+                            F.lit(".com:80/p/a?b=2&a=1")))
+    )
+    return canonical_dedup(ev.select(url.alias("url")))
+
+
 def q_url_domains(spark, sf_dir):
     """URL analytics over the synthetic Common-Crawl pages (the
     BASELINE.json input shape): host/TLD extraction + per-TLD rollup with
@@ -1877,6 +1917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_zorder_layout": q_zorder_layout,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_tile_pyramid": q_tile_pyramid,
+        "q_url_canonical": q_url_canonical,
     }
 
 
@@ -2056,6 +2098,38 @@ def _histogram_oracle() -> str:
 
     return fixed_histogram_sql("SELECT value FROM events", "value",
                                lo=0.0, width=32.0, n_bins=16)
+
+
+def _url_canonical_oracle() -> str:
+    from spatial.datapipe.urls import canonical_url_sql
+
+    url = """CASE event_id % 4
+        WHEN 0 THEN 'https://Host' || CAST(event_id // 4 AS VARCHAR)
+                    || '.com/p/a?b=2&a=1'
+        WHEN 1 THEN 'HTTPS://www.host' || CAST(event_id // 4 AS VARCHAR)
+                    || '.com:443/p/a/?a=1&utm_source=x&b=2#frag'
+        WHEN 2 THEN 'https://HOST' || CAST(event_id // 4 AS VARCHAR)
+                    || '.COM:443/p/a?utm_campaign=yy&b=2&a=1'
+        ELSE 'http://host' || CAST(event_id // 4 AS VARCHAR)
+             || '.com:80/p/a?b=2&a=1' END"""
+    return f"""
+        WITH __u AS (SELECT {url} AS url FROM events)
+        SELECT {canonical_url_sql('url')} AS canonical_url,
+               COUNT(*) AS n_variants
+        FROM __u GROUP BY canonical_url"""
+
+
+def _tile_pyramid_oracle() -> str:
+    from spatial.tiles import tile_assign_oracle_sql
+
+    parts = []
+    for z in range(3, 9):
+        tx, ty = tile_assign_oracle_sql(LON_SQL, LAT_SQL, z)
+        parts.append(f"""
+            SELECT CAST({z} AS INT) AS tile_z, {tx} AS tile_x,
+                   {ty} AS tile_y, COUNT(*) AS n_points
+            FROM events GROUP BY tile_x, tile_y""")
+    return " UNION ALL ".join(parts)
 
 
 def _zorder_oracle() -> str:
@@ -2762,4 +2836,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, event_type FROM events""",
         "q_zorder_layout": _zorder_oracle(),
         "q_incremental_dedup": _incremental_dedup_oracle(),
+        "q_tile_pyramid": _tile_pyramid_oracle(),
+        "q_url_canonical": _url_canonical_oracle(),
     }

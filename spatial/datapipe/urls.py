@@ -96,3 +96,77 @@ __per_host AS (
 SELECT tld, CAST(SUM(n_pages_host) AS BIGINT) AS n_pages, COUNT(*) AS n_hosts,
        MAX(max_depth_host) AS max_path_depth
 FROM __per_host GROUP BY tld ORDER BY tld"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl dedup key)
+# ---------------------------------------------------------------------------
+#
+# Crawls see the same page under many spellings -- case-variant hosts,
+# www. prefixes, default ports, fragments, tracking params, permuted query
+# strings, trailing slashes. Exact URL dedup without canonicalization
+# over-counts; the canonical form below is the standard normal form (RFC
+# 3986 case rules + the usual tracking-param hygiene). Every step is a
+# Java-regex/RE2-shared pattern or an array op (split / filter /
+# array_sort / concat_ws), so the whole thing is one JVM column program
+# replayed verbatim in the DuckDB oracle.
+
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+
+
+def canonical_url(url: Column) -> Column:
+    """URL -> canonical form: lowercase scheme+host, strip ``www.``,
+    scheme-default ports, fragments, ``utm_*`` params and trailing
+    slashes; sort remaining query params lexicographically."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    after = F.regexp_replace(url, _SCHEME_RE, "")
+    nofrag = F.regexp_replace(after, "#.*$", "")
+    hostport = F.lower(F.regexp_extract(nofrag, "^([^/?]+)", 1))
+    rest = F.regexp_replace(nofrag, "^[^/?]+", "")
+    host0 = F.regexp_replace(hostport, "^www\\.", "")
+    host = (F.when(scheme == "http", F.regexp_replace(host0, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(host0, ":443$", ""))
+            .otherwise(host0))
+    path = F.regexp_replace(F.regexp_extract(rest, "^([^?]*)", 1),
+                            "/+$", "")
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_")))
+    qcanon = F.when(F.size(params) > 0,
+                    F.concat(F.lit("?"), F.concat_ws("&", params))) \
+              .otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qcanon)
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """The identical canonicalization in DuckDB SQL (shared-dialect
+    regexes, list_sort for the param ordering)."""
+    scheme = f"lower(regexp_extract({url_expr}, '{_SCHEME_RE}', 1))"
+    after = f"regexp_replace({url_expr}, '{_SCHEME_RE}', '')"
+    nofrag = f"regexp_replace({after}, '#.*$', '')"
+    hostport = f"lower(regexp_extract({nofrag}, '^([^/?]+)', 1))"
+    rest = f"regexp_replace({nofrag}, '^[^/?]+', '')"
+    host0 = f"regexp_replace({hostport}, '^www\\.', '')"
+    host = (f"CASE WHEN {scheme} = 'http' "
+            f"THEN regexp_replace({host0}, ':80$', '') "
+            f"WHEN {scheme} = 'https' "
+            f"THEN regexp_replace({host0}, ':443$', '') "
+            f"ELSE {host0} END")
+    path = (f"regexp_replace(regexp_extract({rest}, '^([^?]*)', 1), "
+            f"'/+$', '')")
+    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    params = (f"list_sort(list_filter(string_split({query}, '&'), "
+              f"p -> p <> '' AND NOT starts_with(p, 'utm_')))")
+    qcanon = (f"CASE WHEN len({params}) > 0 "
+              f"THEN '?' || array_to_string({params}, '&') ELSE '' END")
+    return f"({scheme} || '://' || {host} || {path} || {qcanon})"
+
+
+def canonical_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_variants): exact URL dedup after
+    canonicalization -- the crawl-frontier dedup key. Map-side-combined
+    hash aggregate on the canonical string."""
+    return (df.select(canonical_url(F.col(url_col)).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_variants")))

@@ -87,3 +87,44 @@ def tile_cover(df: DataFrame, geom_col: str, zoom: int,
         .withColumn(f"{out_prefix}_y",
                     F.explode(F.sequence(tya, tyb)))
     )
+
+
+def tile_pyramid(df: DataFrame, lon_col: str, lat_col: str,
+                 base_zoom: int, min_zoom: int = 0) -> DataFrame:
+    """Raster z-pyramid rollup: per-tile point counts at ``base_zoom``,
+    then every coarser level down to ``min_zoom`` -- one output row per
+    (tile_z, tile_x, tile_y) with ``n_points``.
+
+    Scale shape: the raw points are scanned and shuffled ONCE (the
+    base-zoom aggregate); each coarser level aggregates the LEVEL BELOW
+    (4 children per parent via ``tx >> 1, ty >> 1``), so levels cost
+    #tiles -- not #points -- per step. The naive form (re-assign + re-agg
+    the corpus per zoom) scans 100 TB once per level.
+
+    Exactness of the hierarchical rollup: tile indices are
+    floor(v * 2^z) with clamping; scaling by a power of two only shifts
+    the float exponent (no rounding), so floor(v * 2^(z-1)) ==
+    floor(v * 2^z) >> 1 identically, and the clamped edges map
+    (n-1) >> 1 == parent n/2 - 1. The DuckDB oracle computes every level
+    DIRECTLY from the raw points -- different plan, identical integers."""
+    base = (
+        tile_assign(df, lon_col, lat_col, base_zoom)
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+    )
+    cols = ["tile_z", "tile_x", "tile_y", "n_points"]
+    levels = [base.select(*cols)]
+    cur = base
+    for z in range(base_zoom - 1, min_zoom - 1, -1):
+        cur = (
+            cur.groupBy(
+                F.shiftright(F.col("tile_x"), 1).alias("tile_x"),
+                F.shiftright(F.col("tile_y"), 1).alias("tile_y"))
+            .agg(F.sum("n_points").alias("n_points"))
+            .withColumn("tile_z", F.lit(z).cast("int"))
+        )
+        levels.append(cur.select(*cols))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -329,3 +329,59 @@ def test_zorder_write_clusters_disjoint_files(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file zkey ranges overlap"
+
+
+# -- tile pyramid -------------------------------------------------------------
+
+def test_tile_pyramid_hierarchical_equals_direct(spark):
+    """Every pyramid level must equal direct tile assignment at that zoom
+    (the power-of-two exactness argument), and each level conserves the
+    total point count."""
+    from pyspark.sql import functions as F
+
+    from spatial.tiles import tile_assign, tile_pyramid
+
+    df = spark.range(3000).select(
+        ((F.col("id") * 7919 % 36000).cast("double") / 100.0 - 180.0)
+        .alias("lon"),
+        ((F.col("id") * 104729 % 17000).cast("double") / 100.0 - 85.0)
+        .alias("lat"))
+    pyr = tile_pyramid(df, "lon", "lat", base_zoom=7, min_zoom=2)
+    rows = pyr.collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["tile_z"], {})[(r["tile_x"], r["tile_y"])] = \
+            r["n_points"]
+    assert sorted(by_level) == [2, 3, 4, 5, 6, 7]
+    for z, tiles in by_level.items():
+        assert sum(tiles.values()) == 3000  # conservation
+        direct = (tile_assign(df, "lon", "lat", z)
+                  .groupBy("tile_x", "tile_y")
+                  .agg(F.count("*").alias("n")).collect())
+        assert {(r["tile_x"], r["tile_y"]): r["n"] for r in direct} == tiles
+
+
+# -- URL canonicalization -----------------------------------------------------
+
+def test_canonical_url_hand_cases(spark):
+    from pyspark.sql import functions as F
+
+    from spatial.datapipe.urls import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/a/b/?z=1&utm_source=x&a=2#frag",
+         "https://example.com/a/b?a=2&z=1"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("ftp://Example.com:80/x", "ftp://example.com:80/x"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/?utm_campaign=only", "https://example.com"),
+        ("https://example.com/a?b=2&a=1&b=1", "https://example.com/a?a=1&b=1&b=2"),
+        ("https://example.com/a//", "https://example.com/a"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    rows = df.select(canonical_url(F.col("url")).alias("got"),
+                     "want", "url").collect()
+    bad = [(r["url"], r["got"], r["want"]) for r in rows
+           if r["got"] != r["want"]]
+    assert not bad, bad
