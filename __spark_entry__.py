@@ -1743,6 +1743,21 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+def q_histogram_quantiles(spark, sf_dir):
+    """Mergeable approximate quantiles from the fixed-bin histogram
+    (sketches.histogram_quantiles): ONE map-side-combinable aggregate over
+    the data, then a window+join over the <=1024-row summary -- no
+    percentile shuffle or sort of the raw column (Spark's exact
+    percentile_approx is neither mergeable across engines nor
+    bit-reproducible here). Rank targets CEIL(q*N), bin edges dyadic --
+    every op replayed verbatim in DuckDB."""
+    from spatial.datapipe.sketches import histogram_quantiles
+
+    ev = _events(spark, sf_dir)
+    return histogram_quantiles(ev, "value", lo=0.0, width=0.5,
+                               n_bins=1024, qs=[0.25, 0.5, 0.9, 0.99])
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Raster z-pyramid (tiles.tile_pyramid): per-tile counts at zoom 8
     rolled hierarchically down to zoom 3 -- the points shuffle once, each
@@ -1919,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_tile_pyramid": q_tile_pyramid,
         "q_url_canonical": q_url_canonical,
+        "q_histogram_quantiles": q_histogram_quantiles,
     }
 
 
@@ -2098,6 +2114,14 @@ def _histogram_oracle() -> str:
 
     return fixed_histogram_sql("SELECT value FROM events", "value",
                                lo=0.0, width=32.0, n_bins=16)
+
+
+def _histogram_quantiles_oracle() -> str:
+    from spatial.datapipe.sketches import histogram_quantiles_sql
+
+    return histogram_quantiles_sql("SELECT value FROM events", "value",
+                                   lo=0.0, width=0.5, n_bins=1024,
+                                   qs=[0.25, 0.5, 0.9, 0.99])
 
 
 def _url_canonical_oracle() -> str:
@@ -2838,4 +2862,5 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_dedup": _incremental_dedup_oracle(),
         "q_tile_pyramid": _tile_pyramid_oracle(),
         "q_url_canonical": _url_canonical_oracle(),
+        "q_histogram_quantiles": _histogram_quantiles_oracle(),
     }

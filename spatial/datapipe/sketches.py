@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MASK = 0xFFFFFFFF       # 2^32 - 1
@@ -342,3 +342,68 @@ SELECT {gsel}
          / CAST(__sp + ({m} - n_registers_hit) * {1 << _K} AS DOUBLE)
          AS approx_distinct
 FROM __agg"""
+
+
+def histogram_quantiles(df: DataFrame, value_col: str, lo: float,
+                        width: float, n_bins: int,
+                        qs: Sequence[float]) -> DataFrame:
+    """Distributed approximate quantiles from the fixed-bin histogram:
+    (q, n_le, est) where ``est`` is the lower edge of the bin containing
+    the ceil(q*N)-th value and ``n_le`` the cumulative count through it.
+
+    Scale shape: the data pays ONE map-side-combinable histogram aggregate
+    (<= n_bins rows out); the quantile selection is a window + join over
+    that n_bins-row summary -- never a sort or percentile shuffle of the
+    raw column. The summary is mergeable across partitions/streams by
+    construction (integer bin counts add). Error is bounded by the bin
+    width; tighten by narrowing [lo, lo + n_bins*width) around the mass.
+
+    Determinism: bin indices are the dyadic-width mul/add/floor program of
+    fixed_histogram; the rank target is CEIL(q * N) (one IEEE multiply of
+    exact operands); bin selection is integer comparisons; ``est`` is
+    lo + bin*width (exact dyadic arithmetic) -- all replayed verbatim in
+    the DuckDB oracle."""
+    hist = fixed_histogram(df, value_col, lo, width, n_bins)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cum = hist.select("bin", "bin_lo", "n") \
+              .withColumn("n_le", F.sum("n").over(w))
+    tot = cum.agg(F.sum("n").alias("__N"))
+    qdf = (df.sparkSession.range(1)
+           .select(F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+                   .alias("q"))
+           .crossJoin(tot)
+           .withColumn("__t", F.greatest(
+               F.lit(1).cast("long"),
+               F.ceil(F.col("q") * F.col("__N")).cast("long"))))
+    return (
+        qdf.join(cum, (F.col("n_le") >= F.col("__t"))
+                 & (F.col("n_le") - F.col("n") < F.col("__t")))
+        .select("q", "n_le", F.col("bin_lo").alias("est"))
+    )
+
+
+def histogram_quantiles_sql(table_sql: str, value_col: str, lo: float,
+                            width: float, n_bins: int,
+                            qs: Sequence[float]) -> str:
+    """The identical summary + selection in DuckDB SQL."""
+    from ..synth import sql_double
+
+    hist = fixed_histogram_sql(table_sql, value_col, lo, width, n_bins)
+    qvals = ", ".join(f"({sql_double(float(q))})" for q in qs)
+    return f"""
+WITH __h AS ({hist}),
+__c AS (
+  SELECT bin, bin_lo, n,
+         SUM(n) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_le
+  FROM __h
+),
+__tot AS (SELECT SUM(n) AS __N FROM __h),
+__q AS (
+  SELECT q, GREATEST(1, CAST(CEIL(q * __N) AS BIGINT)) AS __t
+  FROM (VALUES {qvals}) AS __qs(q) CROSS JOIN __tot
+)
+SELECT q, CAST(n_le AS BIGINT) AS n_le, bin_lo AS est
+FROM __q JOIN __c ON n_le >= __t AND n_le - n < __t"""

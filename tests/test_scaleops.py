@@ -385,3 +385,28 @@ def test_canonical_url_hand_cases(spark):
     bad = [(r["url"], r["got"], r["want"]) for r in rows
            if r["got"] != r["want"]]
     assert not bad, bad
+
+
+# -- histogram quantiles ------------------------------------------------------
+
+def test_histogram_quantiles_within_bin_width(spark):
+    """Each estimate must be the lower edge of the bin holding the exact
+    ceil(q*N)-th order statistic -- i.e. within one bin width of the true
+    quantile -- and n_le must count values <= that bin's upper edge."""
+    from pyspark.sql import functions as F
+
+    from spatial.datapipe.sketches import histogram_quantiles
+
+    n = 4000
+    df = spark.range(n).select(
+        ((F.col("id") * 37 % 1000).cast("double") / 10.0).alias("v"))
+    vals = sorted(r["v"] for r in df.collect())
+    width = 0.25
+    out = histogram_quantiles(df, "v", lo=0.0, width=width, n_bins=512,
+                              qs=[0.1, 0.5, 0.9, 1.0]).collect()
+    assert len(out) == 4
+    import math
+    for r in out:
+        true_q = vals[max(1, math.ceil(r["q"] * n)) - 1]
+        assert r["est"] <= true_q < r["est"] + width
+        assert r["n_le"] == sum(v < r["est"] + width for v in vals)
