@@ -1743,6 +1743,19 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+def q_cap_per_key(spark, sf_dir):
+    """Per-domain frequency capping (curation.cap_per_key): at most 5 docs
+    per source, selected by deterministic mix-hash order (content-stable,
+    not arrival-order). Salted two-stage top-k: local rank within
+    (key, source partition) prunes before the per-key shuffle, so a hot
+    domain never lands in one task; per-key top-k is decomposable so the
+    result equals the single-pass global rank the oracle computes."""
+    from spatial.datapipe.curation import cap_per_key
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return cap_per_key(d, "source", 5)
+
+
 def q_histogram_quantiles(spark, sf_dir):
     """Mergeable approximate quantiles from the fixed-bin histogram
     (sketches.histogram_quantiles): ONE map-side-combinable aggregate over
@@ -1935,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_pyramid": q_tile_pyramid,
         "q_url_canonical": q_url_canonical,
         "q_histogram_quantiles": q_histogram_quantiles,
+        "q_cap_per_key": q_cap_per_key,
     }
 
 
@@ -2114,6 +2128,19 @@ def _histogram_oracle() -> str:
 
     return fixed_histogram_sql("SELECT value FROM events", "value",
                                lo=0.0, width=32.0, n_bins=16)
+
+
+def _cap_per_key_oracle() -> str:
+    from spatial.datapipe.curation import mix_hash_sql
+
+    h = mix_hash_sql("doc_id")
+    return f"""
+        SELECT doc_id, source, CAST(rk AS INT) AS rank FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY {h}, doc_id) AS rk
+          FROM documents) __r
+        WHERE rk <= 5"""
 
 
 def _histogram_quantiles_oracle() -> str:
@@ -2863,4 +2890,5 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_pyramid": _tile_pyramid_oracle(),
         "q_url_canonical": _url_canonical_oracle(),
         "q_histogram_quantiles": _histogram_quantiles_oracle(),
+        "q_cap_per_key": _cap_per_key_oracle(),
     }

@@ -121,3 +121,27 @@ def pack_by_budget(df: DataFrame, budget: int = 512,
         .withColumn("shard_id", F.expr(f"CAST(__cum DIV {budget} AS BIGINT)"))
         .drop("__cum")
     )
+
+
+def cap_per_key(df: DataFrame, key_col: str, k: int,
+                id_col: str = "doc_id") -> DataFrame:
+    """FREQUENCY CAPPING: keep at most ``k`` rows per key (the MassiveText/
+    web-curation guard against one domain flooding the corpus), selected
+    by deterministic mix-hash order of the id with id tie-break -- a pure
+    function of content ids, stable across partitionings and retries
+    (arrival-order capping is neither).
+
+    Scale shape -- the salted two-stage top-k: stage 1 ranks within
+    (key, source-partition) so a hot key (one domain with 10^9 pages)
+    never concentrates in a single task; each group keeps its local top-k
+    (per-key top-k is decomposable, so this drops no global winner).
+    Stage 2 ranks the <= k * n_partitions survivors per key globally.
+    Adds ``rank`` (1..k in the final hash order)."""
+    h = mix_hash(F.col(id_col))
+    local = Window.partitionBy(key_col, F.spark_partition_id()) \
+                  .orderBy(h.asc(), F.col(id_col).asc())
+    pruned = (df.withColumn("__lrk", F.row_number().over(local))
+              .where(F.col("__lrk") <= k).drop("__lrk"))
+    final = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (pruned.withColumn("rank", F.row_number().over(final).cast("int"))
+            .where(F.col("rank") <= k))

@@ -602,3 +602,29 @@ def test_incremental_dedup_equals_cross_slice(spark, near_dup_docs):
             if r["id_a"] < 500_000 <= r["id_b"]}
     assert inc == full
     assert len(inc) > 0  # planted mutations must actually fire
+
+
+def test_cap_per_key_partition_invariant_and_exact(spark):
+    """Two-stage capped top-k == single-window global rank, identical at
+    different partition counts, incl. a hot key 100x the others."""
+    from pyspark.sql import Window
+
+    from spatial.datapipe.curation import cap_per_key, mix_hash
+
+    rows = [(i, "hot" if i < 1000 else f"k{i % 7}") for i in range(1300)]
+    base = spark.createDataFrame(rows, "doc_id long, key string")
+
+    def run(df):
+        return {(r["doc_id"], r["key"], r["rank"])
+                for r in cap_per_key(df, "key", 4).collect()}
+
+    got2 = run(base.repartition(2))
+    got16 = run(base.repartition(16))
+    assert got2 == got16
+    w = Window.partitionBy("key").orderBy(mix_hash(F.col("doc_id")).asc(),
+                                          F.col("doc_id").asc())
+    want = {(r["doc_id"], r["key"], r["rank"]) for r in
+            base.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 4).collect()}
+    assert got2 == want
+    assert sum(1 for _, k, _ in want if k == "hot") == 4

@@ -64,3 +64,52 @@ def test_embedding_scan_prunes_to_used_columns(spark):
     q = cosine_topk_bruteforce(emb, np.zeros((1, 64)) + 1.0, k=3)
     plan = _plan(q)
     assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark):
+    """The incremental dedup candidate join must broadcast the (small)
+    batch side -- a sort-merge join there means the corpus bucket table
+    started shuffling against the batch, defeating the incremental
+    design."""
+    from spatial.datapipe.dedup import incremental_dup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    batch = (docs.where(F.col("doc_id") % 5 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+             .withColumn("text", F.concat(F.col("text"), F.lit(" t"))))
+    out = incremental_dup_pairs(docs, batch, threshold=0.7,
+                                num_perm=64, bands=16)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_and_pyramid_plans_are_pure_jvm(spark):
+    """No Python evaluation anywhere in the z-order key or tile pyramid
+    plans (whole-stage codegen end to end)."""
+    from spatial.tiles import tile_pyramid
+    from spatial.zorder import with_zkey
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 36000).cast("double") / 100.0 - 180.0)
+        .alias("lon"),
+        ((F.col("event_id") * 104729 % 17000).cast("double") / 100.0 - 85.0)
+        .alias("lat"))
+    for q in (with_zkey(ev, "lon", "lat", 12),
+              tile_pyramid(ev, "lon", "lat", base_zoom=6, min_zoom=4)):
+        plan = _plan(q)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_repetition_signals_no_shuffle(spark):
+    """The zero-shuffle claim on the real documents table: no Exchange in
+    the physical plan."""
+    from spatial.datapipe.textstats import repetition_signals
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repetition_signals(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
