@@ -1822,6 +1822,150 @@ def q_url_domains(spark, sf_dir):
     return domain_rollup(pages)
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE aggregation (the grouping-sets surface beyond q_rollup_revenue's
+    ROLLUP): decimal-exact revenue over every subset of (o_orderstatus,
+    o_orderpriority), with per-column GROUPING flags so rolled-up NULLs are
+    distinguishable from data NULLs. One shuffle; map-side combined."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+             .alias("revenue"),
+             F.count("*").alias("n_orders"),
+             F.grouping("o_orderstatus").cast("int").alias("g_status"),
+             F.grouping("o_orderpriority").cast("int").alias("g_priority"))
+    )
+
+
+def q_st_extent(spark, sf_dir):
+    """ST_Extent aggregate (kernels.st_extent): the envelope of all per-event
+    square rings per 45-degree zone. Per-geometry bboxes are pure-JVM
+    array_min/max; the group MIN/MAX is decomposable (map-side combined, one
+    row per group out). Float parity: ring coords are x and x+a computed in
+    one add each (identical op order in the oracle); MIN/MAX of identical
+    doubles is order-free, so the extent is bit-exact."""
+    from spatial.kernels import st_extent
+
+    ev = _events(spark, sf_dir)
+    x, y = _lon(), _lat()
+    g = ev.select(
+        F.floor((x + 180.0) / 45.0).cast("int").alias("zone_x"),
+        F.floor((y + 90.0) / 45.0).cast("int").alias("zone_y"),
+        _square_ring().alias("geom"))
+    return st_extent(g, "geom", ["zone_x", "zone_y"])
+
+
+def q_quantile_filter(spark, sf_dir):
+    """Quantile-based outlier filtering -- the mergeable-histogram summary
+    COMPOSED into a corpus-curation gate: documents whose n_chars falls
+    outside [p05, p95] (estimated from sketches.histogram_quantiles) are
+    dropped; survivors roll up per language. The data pays one histogram
+    aggregate + one scan-with-filter; the two cut points arrive via a
+    broadcast crossJoin of the 2-row quantile summary -- no sort, no
+    percentile shuffle, no second pass over text. Cut points are dyadic bin
+    edges (exact doubles), so the filter replays bit-exactly in SQL."""
+    from spatial.datapipe.sketches import histogram_quantiles
+
+    d = _docs(spark, sf_dir).withColumn("__v", F.col("n_chars").cast("double"))
+    qs = histogram_quantiles(d, "__v", lo=0.0, width=32.0, n_bins=32,
+                             qs=[0.05, 0.95])
+    cuts = (qs.agg(F.min(F.when(F.col("q") < 0.5, F.col("est")))
+                   .alias("__lo"),
+                   F.min(F.when(F.col("q") >= 0.5, F.col("est")))
+                   .alias("__hi")))
+    return (
+        d.crossJoin(cuts)
+        .where((F.col("__v") >= F.col("__lo")) & (F.col("__v") < F.col("__hi") + F.lit(32.0)))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+        .orderBy("lang")
+    )
+
+
+def q_time_gapfill(spark, sf_dir):
+    """Time-series gap filling: per-user daily event counts over the FULL
+    corpus date range with missing days materialized as zero rows (the
+    resample/densify primitive every downstream window/trend job needs --
+    a plain groupBy silently omits empty buckets). The day spine is one
+    sequence()+explode over a 1-row min/max aggregate crossJoined with the
+    distinct-user dim (both broadcast: the grid is |users| x |days| rows,
+    independent of event volume); counts LEFT-join the grid. Integer
+    counts + UTC-pinned date_trunc replay exactly in DuckDB."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    counts = ev.groupBy(F.col("user_id"), day.alias("day")) \
+               .agg(F.count("*").alias("__n"))
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("__lo"),
+                    F.date_trunc("day", F.max("ts")).alias("__hi"))
+    days = bounds.select(F.explode(F.sequence(
+        F.col("__lo"), F.col("__hi"), F.expr("interval 1 day"))).alias("day"))
+    users = ev.select("user_id").distinct()
+    return (
+        users.crossJoin(days)
+        .join(counts, ["user_id", "day"], "left")
+        .select("user_id", "day",
+                F.coalesce(F.col("__n"), F.lit(0)).cast("bigint")
+                .alias("n_events"))
+    )
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index over documents (datapipe/index.py): term ->
+    (doc_freq, n_occurrences, capped sorted posting list). max_df=385
+    drops corpus stopwords BEFORE any posting list materializes (the
+    bucket-guard discipline); max_postings=24 bounds every row via the
+    salted two-stage top-k, provably equal to the oracle's single global
+    ROW_NUMBER because per-term top-k by a total order is decomposable."""
+    from spatial.datapipe.index import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), max_df=385, max_postings=24)
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """Top-30 collocations by PMI (textstats.pmi_bigrams) -- phrase mining /
+    tokenizer-merge candidates. Score is the RATIONAL odds form
+    (n_pair * N_uni^2) / (N_bi * n_w1 * n_w2): exact BIGINT products, one
+    IEEE division -- bit-identical cross-engine where ln() is not, and
+    monotone in PMI so the ranking IS the PMI ranking. min_count prunes the
+    tail before the count-joins; top-k is TakeOrderedAndProject."""
+    from spatial.datapipe.textstats import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), k=30, min_count=5)
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join (spatial/bucketing.py): customer and
+    orders are each written ONCE as 8-bucket hash-bucketed sorted tables,
+    then joined on the bucket key with ZERO Exchange on either side (the
+    write pre-pays the shuffle -- the pattern that turns a daily 100 TB
+    fact-table re-shuffle into a one-time ingest cost; plan pinned in
+    tests/test_plan_audit.py). Result: per-segment order count + decimal
+    revenue -- identical to the plain join the oracle runs, because
+    bucketing changes layout, never content."""
+    from spatial.bucketing import bucketed_join, write_bucketed
+
+    base = "/tmp/spark_graft_bucketed"
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    write_bucketed(c, "sg_bj_customer", "c_custkey", 8,
+                   path=f"{base}/customer")
+    write_bucketed(o, "sg_bj_orders", "c_custkey", 8, path=f"{base}/orders")
+    j = bucketed_join(spark, "sg_bj_customer", "sg_bj_orders", "c_custkey")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+             .alias("revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -1949,6 +2093,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonical": q_url_canonical,
         "q_histogram_quantiles": q_histogram_quantiles,
         "q_cap_per_key": q_cap_per_key,
+        "q_cube_revenue": q_cube_revenue,
+        "q_st_extent": q_st_extent,
+        "q_quantile_filter": q_quantile_filter,
+        "q_time_gapfill": q_time_gapfill,
+        "q_inverted_index": q_inverted_index,
+        "q_pmi_bigrams": q_pmi_bigrams,
+        "q_bucketed_join": q_bucketed_join,
     }
 
 
@@ -2128,6 +2279,97 @@ def _histogram_oracle() -> str:
 
     return fixed_histogram_sql("SELECT value FROM events", "value",
                                lo=0.0, width=32.0, n_bins=16)
+
+
+_CUBE_REVENUE_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+_ST_EXTENT_ORACLE = f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR(({LON_SQL} + 180.0) / 45.0) AS INT) AS zone_x,
+             CAST(FLOOR(({LAT_SQL} + 90.0) / 45.0) AS INT) AS zone_y,
+             {LON_SQL} AS x, {LAT_SQL} AS y,
+             (1.0 + CAST(event_id % 100 AS DOUBLE) / 100.0) AS a
+      FROM events)
+    SELECT zone_x, zone_y,
+           MIN(x) AS ext_minx, MIN(y) AS ext_miny,
+           MAX(x + a) AS ext_maxx, MAX(y + a) AS ext_maxy,
+           COUNT(*) AS n_geoms
+    FROM pts GROUP BY zone_x, zone_y"""
+
+_TIME_GAPFILL_ORACLE = """
+    WITH b AS (SELECT date_trunc('day', MIN(ts)) AS lo,
+                      date_trunc('day', MAX(ts)) AS hi FROM events),
+    days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+             FROM b),
+    u AS (SELECT DISTINCT user_id FROM events),
+    c AS (SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+    SELECT u.user_id, d.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM u CROSS JOIN days d
+    LEFT JOIN c ON c.user_id = u.user_id AND c.day = d.day"""
+
+_PMI_BIGRAMS_ORACLE = """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    base AS (SELECT ts FROM toks WHERE len(ts) >= 1),
+    uni AS (SELECT w, COUNT(*) AS n_w
+            FROM (SELECT unnest(ts) AS w FROM base) GROUP BY w),
+    pairs AS (
+      SELECT g, COUNT(*) AS n_pair FROM (
+        SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS g
+        FROM base WHERE len(ts) >= 2) __g
+      GROUP BY g HAVING COUNT(*) >= 5),
+    tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS nu FROM uni),
+    totb AS (SELECT CAST(SUM(GREATEST(len(ts) - 1, 0)) AS BIGINT) AS nb
+             FROM base),
+    j AS (
+      SELECT string_split(p.g, ' ')[1] AS w1, string_split(p.g, ' ')[2] AS w2,
+             p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+             CAST(p.n_pair * t.nu * t.nu AS DOUBLE)
+               / CAST(tb.nb * u1.n_w * u2.n_w AS DOUBLE) AS score
+      FROM pairs p
+      JOIN uni u1 ON u1.w = string_split(p.g, ' ')[1]
+      JOIN uni u2 ON u2.w = string_split(p.g, ' ')[2]
+      CROSS JOIN tot t CROSS JOIN totb tb)
+    SELECT w1, w2, n_pair, n_w1, n_w2,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, w1, w2) AS INT)
+             AS rank,
+           score
+    FROM j ORDER BY rank LIMIT 30"""
+
+
+def _quantile_filter_oracle() -> str:
+    from spatial.datapipe.sketches import histogram_quantiles_sql
+
+    hq = histogram_quantiles_sql(
+        "SELECT CAST(n_chars AS DOUBLE) AS __v FROM documents",
+        "__v", lo=0.0, width=32.0, n_bins=32, qs=[0.05, 0.95])
+    return f"""
+    WITH __q AS ({hq}),
+    cuts AS (SELECT MIN(CASE WHEN q < 0.5 THEN est END) AS lo,
+                    MIN(CASE WHEN q >= 0.5 THEN est END) AS hi FROM __q)
+    SELECT lang, COUNT(*) AS n_kept,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM (SELECT lang, n_chars, CAST(n_chars AS DOUBLE) AS v
+          FROM documents) d, cuts
+    WHERE v >= lo AND v < hi + 32.0
+    GROUP BY lang ORDER BY lang"""
+
+
+def _inverted_index_oracle() -> str:
+    from spatial.datapipe.index import inverted_index_oracle_sql
+
+    return inverted_index_oracle_sql(max_df=385, max_postings=24)
 
 
 def _cap_per_key_oracle() -> str:
@@ -2891,4 +3133,16 @@ def oracle_sql() -> dict[str, str]:
         "q_url_canonical": _url_canonical_oracle(),
         "q_histogram_quantiles": _histogram_quantiles_oracle(),
         "q_cap_per_key": _cap_per_key_oracle(),
+        "q_cube_revenue": _CUBE_REVENUE_ORACLE,
+        "q_st_extent": _ST_EXTENT_ORACLE,
+        "q_quantile_filter": _quantile_filter_oracle(),
+        "q_time_gapfill": _TIME_GAPFILL_ORACLE,
+        "q_inverted_index": _inverted_index_oracle(),
+        "q_pmi_bigrams": _PMI_BIGRAMS_ORACLE,
+        "q_bucketed_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     }

@@ -292,3 +292,60 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
                a3["dup"].cast("double") / a3["total"].cast("double"))
          .otherwise(F.lit(0.0)).alias("dup3_char_frac"),
     )
+
+
+def pmi_bigrams(df: DataFrame, k: int = 30, min_count: int = 5,
+                text_col: str = "text") -> DataFrame:
+    """Top-k collocations by pointwise mutual information over word
+    bigrams: (w1, w2, n_pair, n_w1, n_w2, rank, score) -- the classic
+    phrase-mining / tokenizer-merge-candidate pass over a web corpus.
+
+    Float-parity design: instead of log [P(xy) / (P(x)P(y))] the score is
+    the RATIONAL odds form
+        score = (n_pair * N_uni^2) / (N_bigrams * n_w1 * n_w2)
+    -- numerator and denominator are each one exact BIGINT product, so the
+    score is ONE IEEE int64->double conversion pair + ONE division,
+    bit-identical in Spark and DuckDB (ln() is not). Monotone in PMI, so
+    the ranking is the PMI ranking. Exact while N_bigrams * n_w1 * n_w2
+    < 2^63 (holds through ~10^6-token-vocab corpora of 3M tokens; beyond
+    that, pre-divide by gcd or rank on the log form with a rounded
+    tie-margin). Ranking ties break on (w1, w2) -- a total order, so the
+    top-k cut is deterministic.
+
+    Scale shape: unigram and bigram counts are two map-side-combined
+    aggregates over exploded short strings; the totals arrive via crossJoin
+    with 1-row aggregates (planner broadcasts); min_count prunes the long
+    tail BEFORE the count-joins (the bucket-guard discipline); the global
+    top-k is orderBy+limit = TakeOrderedAndProject, never a full sort."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda w: w != "")
+    base = df.select(toks.alias("__ts")).where(F.size("__ts") > 0)
+    uni = (base.select(F.explode("__ts").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("n_w")))
+    pairs = (base.select(F.explode(_grams_from(F.col("__ts"), 2)).alias("g"))
+             .groupBy("g").agg(F.count("*").alias("n_pair"))
+             .where(F.col("n_pair") >= min_count)
+             .withColumn("w1", F.split(F.col("g"), " ")[0])
+             .withColumn("w2", F.split(F.col("g"), " ")[1]))
+    n_uni = uni.agg(F.sum("n_w").alias("__nu"))
+    n_bi = (base.select((F.greatest(F.size("__ts") - 1, F.lit(0)))
+                 .alias("nb")).agg(F.sum("nb").alias("__nb")))
+    scored = (
+        pairs
+        .join(uni.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("n_w", "n_w1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+                 .withColumnRenamed("n_w", "n_w2"), "w2")
+        .crossJoin(n_uni).crossJoin(n_bi)
+        .withColumn("score",
+                    (F.col("n_pair") * F.col("__nu") * F.col("__nu"))
+                    .cast("double")
+                    / (F.col("__nb") * F.col("n_w1") * F.col("n_w2"))
+                    .cast("double"))
+        .orderBy(F.col("score").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("w1", "w2", "n_pair", "n_w1", "n_w2", "rank", "score"))

@@ -950,3 +950,28 @@ def bbox_iou(aminx: Column, aminy: Column, amaxx: Column, amaxy: Column,
     a2 = (bmaxx - bminx) * (bmaxy - bminy)
     union = a1 + a2 - inter
     return F.when(union > 0.0, inter / union).otherwise(F.lit(0.0))
+
+
+def st_extent(df: DataFrame, geom_col: str, group_cols: list[str]) -> DataFrame:
+    """ST_Extent: the aggregate ENVELOPE of all geometries per group --
+    PostGIS's canonical bounding-box aggregate (the reference's dead
+    Vector.hs:10-16 ordered points "for use in convex hull"; extent is the
+    cheap rectangular cousin that map viewports actually use).
+
+    Scale shape: per-geometry bboxes are pure-JVM array_min/max projections
+    (geom_bbox_cols -- no Python, whole-stage codegen), and the group
+    aggregate is MIN/MAX -- decomposable, map-side combined, ZERO rows more
+    than one per group leave each task. min/max of doubles is
+    order-independent, so the result is bit-stable at any partitioning and
+    SQL-replayable exactly."""
+    g = F.col(geom_col)
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.min(F.array_min(g["xs"])).alias("ext_minx"),
+            F.min(F.array_min(g["ys"])).alias("ext_miny"),
+            F.max(F.array_max(g["xs"])).alias("ext_maxx"),
+            F.max(F.array_max(g["ys"])).alias("ext_maxy"),
+            F.count("*").alias("n_geoms"),
+        )
+    )

@@ -628,3 +628,54 @@ def test_cap_per_key_partition_invariant_and_exact(spark):
             .where(F.col("rank") <= 4).collect()}
     assert got2 == want
     assert sum(1 for _, k, _ in want if k == "hot") == 4
+
+
+def test_inverted_index_partition_invariant_and_capped(spark):
+    """Two-stage posting cap == global rank; stats stay full counts even
+    where the list truncates; max_df guard drops stopword terms."""
+    from spatial.datapipe.index import inverted_index
+
+    def wd(prefix, n):  # digit-free words: the tokenizer is [a-z]-only
+        return prefix + "".join(chr(97 + int(c)) for c in str(n))
+
+    rows = [(i, ("stop " * 3 + f"{wd('cyc', i % 5)} {wd('rare', i)}")
+             if i % 2 == 0 else f"stop {wd('cyc', i % 5)}")
+            for i in range(200)]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(df):
+        return {r["term"]: (r["doc_freq"], r["n_occurrences"],
+                            tuple(r["postings"]))
+                for r in inverted_index(df, max_df=150,
+                                        max_postings=8).collect()}
+
+    got2 = run(base.repartition(2))
+    got16 = run(base.repartition(16))
+    assert got2 == got16
+    assert "stop" not in got2                  # df=200 > max_df=150
+    df_c0, n_occ_c0, post_c0 = got2[wd("cyc", 0)]
+    assert df_c0 == 40 and n_occ_c0 == 40      # full counts kept
+    assert len(post_c0) == 8                   # capped
+    assert post_c0 == (0, 5, 10, 15, 20, 25, 30, 35)
+    assert got2[wd("rare", 4)] == (1, 1, (4,))
+
+
+def test_pmi_bigrams_partition_invariant(spark):
+    """PMI ranking is bit-identical at different partition counts and the
+    planted collocation wins rank 1."""
+    from spatial.datapipe.textstats import pmi_bigrams
+
+    rows = [(i, "alpha beta " + " ".join(f"w{(i * 7 + j) % 11}"
+                                         for j in range(6)))
+            for i in range(300)]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(df):
+        return [(r["w1"], r["w2"], r["n_pair"], r["rank"], r["score"])
+                for r in pmi_bigrams(df, k=10, min_count=3).collect()]
+
+    got2 = run(base.repartition(2))
+    got16 = run(base.repartition(16))
+    assert got2 == got16
+    assert (got2[0][0], got2[0][1]) == ("alpha", "beta")
+    assert got2[0][3] == 1

@@ -113,3 +113,26 @@ def test_repetition_signals_no_shuffle(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides hash-bucketed+sorted on the join key: the sort-merge
+    join must read bucket i vs bucket i directly -- zero Exchange, zero
+    Sort in the physical plan (the write pre-paid the shuffle)."""
+    from spatial.bucketing import bucketed_join, write_bucketed
+
+    c = spark.read.parquet(f"{SF}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment")
+    o = spark.read.parquet(f"{SF}/orders.parquet") \
+        .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    write_bucketed(c, "sg_pa_customer", "c_custkey", 4,
+                   path="/tmp/sg_plan_audit/customer")
+    write_bucketed(o, "sg_pa_orders", "c_custkey", 4,
+                   path="/tmp/sg_plan_audit/orders")
+    j = bucketed_join(spark, "sg_pa_customer", "sg_pa_orders", "c_custkey")
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # content identical to the plain join (layout never changes results)
+    plain = c.join(o, "c_custkey")
+    assert j.count() == plain.count()
