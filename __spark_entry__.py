@@ -1966,6 +1966,110 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Sequential conversion funnel with attribution windows (first view ->
+    click within 12h of it -> purchase within 6h of that click): per-user
+    stage reached, counted per stage. The order-dependence is resolved by
+    ITERATED CONDITIONAL MIN -- one per-user MIN aggregate per step, each
+    joined forward as the next step's time bounds -- not by a self-join
+    over event pairs (which explodes quadratically on hot users). Only
+    (user_id, timestamp) pairs shuffle; text/props never enter. Integer
+    counts; timestamp arithmetic is exact microsecond integers."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_dir)
+
+    def first_after(etype, prev, prev_col, within):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+        return (e.join(prev, "user_id")
+                .where((F.col("ts") > F.col(prev_col))
+                       & (F.col("ts") <= F.col(prev_col)
+                          + F.expr(f"interval {within} hours")))
+                .groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}")))
+
+    v = first_after("view", None, None, None)
+    c = first_after("click", v, "t_view", 12)
+    p = first_after("purchase", c, "t_click", 6)
+    u = ev.select("user_id").distinct()
+    stage = (
+        u.join(v, "user_id", "left").join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(F.when(F.col("t_purchase").isNotNull(), 3)
+                .when(F.col("t_click").isNotNull(), 2)
+                .when(F.col("t_view").isNotNull(), 1)
+                .otherwise(0).cast("int").alias("stage"))
+    )
+    return (stage.groupBy("stage").agg(F.count("*").alias("n_users"))
+            .orderBy("stage"))
+
+
+def q_cumulative_users(spark, sf_dir):
+    """Growth accounting: per day, newly-seen users and the cumulative
+    distinct-user total. COUNT(DISTINCT) OVER a running window is
+    unsupported/quadratic in both engines; the distributed-native plan is
+    first-seen-day per user (one MIN aggregate) -> daily new-user counts
+    (one map-side-combined count) -> running sum over the <=|days|-row
+    summary (the summary-side window discipline). Integers throughout."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_dir)
+    first = (ev.groupBy("user_id")
+             .agg(F.date_trunc("hour", F.min("ts")).alias("hour")))
+    hourly = first.groupBy("hour").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    return hourly.withColumn("n_total", F.sum("n_new").over(w)) \
+                 .orderBy("hour")
+
+
+def q_ntile_revenue(spark, sf_dir):
+    """NTILE decile profile of order value: bucket orders into 10 equal
+    ranks by (o_totalprice, o_orderkey) -- a TOTAL order, so the bucket
+    boundary is deterministic -- and aggregate each decile. Exercises the
+    remaining window-function surface (NTILE); the global sort is the
+    semantic here -- at 100 TB the same profile comes from
+    histogram_quantiles cut points (q_quantile_filter) without one."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_orders"),
+             F.min("o_totalprice").alias("min_price"),
+             F.max("o_totalprice").alias("max_price"),
+             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+             .alias("revenue"))
+        .orderBy("decile")
+    )
+
+
+def q_snap_grid(spark, sf_dir):
+    """ST_SnapToGrid + collapse: quantize event points to a 1/16-degree
+    grid (floor(x*16)/16 -- power-of-two scaling, every step IEEE-exact)
+    and count points per snapped cell. The coordinate-dedup primitive for
+    crowded map layers; pure-JVM columns, one map-side-combined count."""
+    ev = _events(spark, sf_dir)
+    x, y = _lon(), _lat()
+    return (
+        ev.select((F.floor(x * 16.0) / 16.0).alias("snap_x"),
+                  (F.floor(y * 16.0) / 16.0).alias("snap_y"))
+        .groupBy("snap_x", "snap_y").agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts (graph.triangle_counts) over the
+    deterministic document link graph -- the link-farm / community-density
+    signal beside PageRank. ID-oriented edges make each triangle appear
+    exactly once (no /3, no dedup); two long-long joins + one explode
+    count. Oracle replays graph synthesis and the oriented enumeration."""
+    from spatial.datapipe.graph import synth_edges, triangle_counts
+
+    docs = _docs(spark, sf_dir)
+    edges = synth_edges(docs, n_nodes=docs.count())
+    return triangle_counts(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -2100,6 +2204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_bucketed_join": q_bucketed_join,
+        "q_funnel": q_funnel,
+        "q_cumulative_users": q_cumulative_users,
+        "q_ntile_revenue": q_ntile_revenue,
+        "q_snap_grid": q_snap_grid,
+        "q_triangles": q_triangles,
     }
 
 
@@ -2281,6 +2390,60 @@ def _histogram_oracle() -> str:
                                lo=0.0, width=32.0, n_bins=16)
 
 
+_FUNNEL_ORACLE = """
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL 12 HOUR
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND e.ts <= c.t_click + INTERVAL 6 HOUR
+          GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT stage, COUNT(*) AS n_users FROM (
+      SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                       WHEN c.user_id IS NOT NULL THEN 2
+                       WHEN v.user_id IS NOT NULL THEN 1
+                       ELSE 0 END AS INT) AS stage
+      FROM u LEFT JOIN v ON v.user_id = u.user_id
+             LEFT JOIN c ON c.user_id = u.user_id
+             LEFT JOIN p ON p.user_id = u.user_id) __s
+    GROUP BY stage ORDER BY stage"""
+
+_CUMULATIVE_USERS_ORACLE = """
+    WITH first AS (SELECT user_id,
+                          CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP)
+                            AS hour
+                   FROM events GROUP BY user_id),
+    hourly AS (SELECT hour, COUNT(*) AS n_new FROM first GROUP BY hour)
+    SELECT hour, n_new,
+           SUM(n_new) OVER (ORDER BY hour
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS n_total
+    FROM hourly ORDER BY hour"""
+
+_NTILE_REVENUE_ORACLE = """
+    WITH b AS (
+      SELECT o_totalprice,
+             CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS INT) AS decile
+      FROM orders)
+    SELECT decile, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM b GROUP BY decile ORDER BY decile"""
+
+_SNAP_GRID_ORACLE = f"""
+    SELECT FLOOR(({LON_SQL}) * 16.0) / 16.0 AS snap_x,
+           FLOOR(({LAT_SQL}) * 16.0) / 16.0 AS snap_y,
+           COUNT(*) AS n_points
+    FROM events GROUP BY 1, 2"""
+
 _CUBE_REVENUE_ORACLE = """
     SELECT o_orderstatus, o_orderpriority,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -2364,6 +2527,12 @@ def _quantile_filter_oracle() -> str:
           FROM documents) d, cuts
     WHERE v >= lo AND v < hi + 32.0
     GROUP BY lang ORDER BY lang"""
+
+
+def _triangles_oracle() -> str:
+    from spatial.datapipe.graph import triangle_oracle_sql
+
+    return triangle_oracle_sql()
 
 
 def _inverted_index_oracle() -> str:
@@ -3145,4 +3314,9 @@ def oracle_sql() -> dict[str, str]:
                      AS revenue
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "q_funnel": _FUNNEL_ORACLE,
+        "q_cumulative_users": _CUMULATIVE_USERS_ORACLE,
+        "q_ntile_revenue": _NTILE_REVENUE_ORACLE,
+        "q_snap_grid": _SNAP_GRID_ORACLE,
+        "q_triangles": _triangles_oracle(),
     }

@@ -144,3 +144,68 @@ SELECT d.doc_id,
        CAST(1 << CAST(1 + d.doc_id % 3 AS INT) AS BIGINT) AS outdeg,
        r.r AS pagerank
 FROM documents d JOIN __r{iterations} r ON d.doc_id = r.id"""
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set from a directed edge list: (a, b) with
+    a < b, self-loops dropped, duplicates collapsed."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected graph -- the classic
+    link-farm / community-density signal: (node, n_triangles), nodes in at
+    least one triangle.
+
+    Plan: the canonical two-join enumeration over ID-ORIENTED edges --
+    wedges a<b<c from E(a,b) JOIN E(b,c), closed by E(a,c). Orienting every
+    edge low-id -> high-id means each triangle is generated EXACTLY once
+    (no /3 correction, no dedup shuffle) and the wedge fan-out is bounded
+    by out-degree, not total degree (on real graphs one orients by degree
+    -- the id plays that role here since synth out-degrees are bounded by
+    8). Only (long, long) edge rows shuffle; per-node counts are one
+    explode + map-side-combined sum."""
+    e = undirected_edges(edges)
+    w = (e.alias("e1")
+         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+         .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                 F.col("e2.b").alias("c")))
+    tri = (w.alias("w")
+           .join(e.alias("e3"), (F.col("w.a") == F.col("e3.a"))
+                 & (F.col("w.c") == F.col("e3.b"))))
+    return (
+        tri.select(F.explode(F.array("w.a", "w.b", "w.c")).alias("node"))
+        .groupBy("node").agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def synth_edges_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """The synth_edges graph as a DuckDB CTE body (same construction
+    pagerank_oracle_sql inlines)."""
+    dst = f"({mix_hash_sql(f'(d.{id_col} * 16 + t.j)')}) % (SELECT n FROM __n)"
+    return f"""
+  SELECT d.{id_col} AS src, {dst} AS dst
+  FROM {table} d, (SELECT UNNEST(range({_MAX_OUTDEG})) AS j) t
+  WHERE t.j < (1 << CAST(1 + d.{id_col} % 3 AS INT))"""
+
+
+def triangle_oracle_sql(table: str = "documents",
+                        id_col: str = "doc_id") -> str:
+    """The identical oriented enumeration in DuckDB SQL."""
+    return f"""
+WITH __n AS (SELECT COUNT(*) AS n FROM {table}),
+__edges AS MATERIALIZED ({synth_edges_sql(table, id_col)}),
+u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM __edges WHERE src <> dst),
+w AS (SELECT u1.a, u1.b, u2.b AS c
+      FROM u u1 JOIN u u2 ON u1.b = u2.a),
+t AS (SELECT w.a, w.b, w.c
+      FROM w JOIN u u3 ON u3.a = w.a AND u3.b = w.c)
+SELECT node, COUNT(*) AS n_triangles FROM (
+  SELECT unnest([a, b, c]) AS node FROM t) __x
+GROUP BY node"""

@@ -679,3 +679,16 @@ def test_pmi_bigrams_partition_invariant(spark):
     assert got2 == got16
     assert (got2[0][0], got2[0][1]) == ("alpha", "beta")
     assert got2[0][3] == 1
+
+
+def test_triangle_counts_hand_case(spark):
+    """K4 minus one edge has exactly two triangles sharing an edge; counts
+    per node follow; direction/duplicates/self-loops must not matter."""
+    from spatial.datapipe.graph import triangle_counts
+
+    edges = [(1, 2), (2, 1), (1, 3), (2, 3), (4, 1), (2, 4), (3, 3),
+             (5, 6)]  # K4 minus (3,4); dup (1,2); self-loop (3,3)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    # triangles: {1,2,3} and {1,2,4}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
