@@ -2070,6 +2070,68 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def q_similarity_join(spark, sf_dir):
+    """Exact set-similarity join (datapipe/setjoin.py): every document
+    pair with distinct-token Jaccard >= 19/20 -- the deterministic,
+    NO-false-negative counterpart to MinHash (whose bands can miss a
+    qualifying pair). Candidates come only from rare-token prefix
+    collisions (prefix-filter theorem, INTEGER overlap bound -- a float
+    ceil would shrink the prefix and drop pairs); the oracle computes the
+    ALL-PAIRS answer the pruned plan is provably equal to."""
+    from spatial.datapipe.setjoin import similarity_join
+
+    return similarity_join(_docs(spark, sf_dir), 19, 20)
+
+
+def q_ewma(spark, sf_dir):
+    """Per-user exponential smoothing s_i = (s_{i-1} + x_i) / 2 over the
+    time-ordered event values -- an ORDER-DEPENDENT recurrence, the shape
+    (unlike decomposable sums) that cannot shuffle-reduce. The scale-true
+    plan: ONE groupBy collects each user's (ts, id, value) run, then the
+    whole recurrence is a per-row left-to-right array fold (higher-order
+    aggregate(), whole-stage codegen, zero extra shuffle -- the
+    repetition_signals discipline). Halving is exact binary scaling and
+    fold order is pinned, so DuckDB's list_reduce replays every IEEE add
+    in the same sequence: bit-exact."""
+    ev = _events(spark, sf_dir)
+    grouped = (ev.groupBy("user_id")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("ts", "event_id", "value"))).alias("__run"),
+                   F.count("*").alias("n_events")))
+    vals = F.transform(F.col("__run"), lambda s: s["value"])
+    folded = F.aggregate(vals, F.lit(0.0),
+                         lambda acc, v: (acc + v) * F.lit(0.5))
+    return grouped.select("user_id", "n_events", folded.alias("ewma"))
+
+
+def q_line_interpolate(spark, sf_dir):
+    """ST_LineInterpolatePoint (kernels.st_line_interpolate_point) at
+    fraction 3/8 of the q_st_length L-shaped linestring -- a pure-column
+    two-fold walk (total length, then segment locate + interpolate),
+    zero Python. The dyadic fraction and axis-parallel integer legs keep
+    d and the branch comparisons exact; the oracle unrolls the identical
+    two-segment arithmetic op by op (sqrt is correctly rounded in both
+    engines), so px/py match bit-for-bit with no rounding."""
+    from spatial.kernels import st_line_interpolate_point
+
+    x, y = _lon(), _lat()
+    a = (F.lit(1) + F.col("event_id") % 7).cast("double")
+    b = (F.lit(1) + F.col("event_id") % 5).cast("double")
+    ls = F.struct(
+        F.lit(2).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.array(x, x + a, x + a).alias("xs"),
+        F.array(y, y, y + b).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), F.lit(3)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    ev = _events(spark, sf_dir)
+    pt = st_line_interpolate_point(ls, F.lit(0.375))
+    return ev.select("event_id", pt["px"].alias("px"), pt["py"].alias("py"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -2209,6 +2271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile_revenue": q_ntile_revenue,
         "q_snap_grid": q_snap_grid,
         "q_triangles": q_triangles,
+        "q_similarity_join": q_similarity_join,
+        "q_ewma": q_ewma,
+        "q_line_interpolate": q_line_interpolate,
     }
 
 
@@ -2443,6 +2508,48 @@ _SNAP_GRID_ORACLE = f"""
            FLOOR(({LAT_SQL}) * 16.0) / 16.0 AS snap_y,
            COUNT(*) AS n_points
     FROM events GROUP BY 1, 2"""
+
+_EWMA_ORACLE = """
+    WITH l AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+                      COUNT(*) AS n_events FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                       (acc, x) -> (acc + x) * 0.5) AS ewma
+    FROM l"""
+
+# unrolled replay of the two-segment st_line_interpolate_point fold,
+# op-for-op (see kernels.st_line_interpolate_point docstring)
+_LINE_INTERPOLATE_ORACLE = f"""
+    WITH s AS (
+      SELECT event_id, {LON_SQL} AS x, {LAT_SQL} AS y,
+             CAST(1 + event_id % 7 AS DOUBLE) AS a,
+             CAST(1 + event_id % 5 AS DOUBLE) AS b
+      FROM events),
+    c AS (
+      SELECT event_id, x, y, a, b,
+             ((x + a) - x) AS dx1, (y - y) AS dy1,
+             ((x + a) - (x + a)) AS dx2, ((y + b) - y) AS dy2
+      FROM s),
+    l AS (
+      SELECT *, SQRT(dx1 * dx1 + dy1 * dy1) AS ln1,
+                SQRT(dx2 * dx2 + dy2 * dy2) AS ln2
+      FROM c),
+    d AS (SELECT *, 0.375 * ((0.0 + ln1) + ln2) AS dd FROM l)
+    SELECT event_id,
+           CASE WHEN dd <= 0.0 + ln1
+                THEN x + ((dd - 0.0) / ln1) * dx1
+                ELSE (x + a) + (((dd - (0.0 + ln1)) / ln2) * dx2) END AS px,
+           CASE WHEN dd <= 0.0 + ln1
+                THEN y + ((dd - 0.0) / ln1) * dy1
+                ELSE y + (((dd - (0.0 + ln1)) / ln2) * dy2) END AS py
+    FROM d"""
+
+
+def _similarity_join_oracle() -> str:
+    from spatial.datapipe.setjoin import similarity_join_oracle_sql
+
+    return similarity_join_oracle_sql(19, 20)
+
 
 _CUBE_REVENUE_ORACLE = """
     SELECT o_orderstatus, o_orderpriority,
@@ -3319,4 +3426,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ntile_revenue": _NTILE_REVENUE_ORACLE,
         "q_snap_grid": _SNAP_GRID_ORACLE,
         "q_triangles": _triangles_oracle(),
+        "q_similarity_join": _similarity_join_oracle(),
+        "q_ewma": _EWMA_ORACLE,
+        "q_line_interpolate": _LINE_INTERPOLATE_ORACLE,
     }

