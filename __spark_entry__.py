@@ -2132,6 +2132,102 @@ def q_line_interpolate(spark, sf_dir):
     return ev.select("event_id", pt["px"].alias("px"), pt["py"].alias("py"))
 
 
+def q_hll_cumulative(spark, sf_dir):
+    """Time-cumulative deterministic-HLL distinct users
+    (sketches.approx_distinct_cumulative): per day, the estimate over all
+    history by MERGING daily register states (elementwise MAX over a
+    summary-side window) -- the property that makes a sketch a sketch:
+    the exact counterpart re-scans the full id history every day, the
+    sketch carries m=256 longs. Exact cumulative count joined alongside
+    for calibration. Bit-exact replay (integer registers, one division
+    per day)."""
+    from spatial.datapipe.sketches import approx_distinct_cumulative
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_dir)
+    approx = approx_distinct_cumulative(ev, "user_id", "ts", p=8)
+    first = (ev.groupBy("user_id")
+             .agg(F.date_trunc("day", F.min("ts")).alias("day")))
+    newc = first.groupBy("day").agg(F.count("*").alias("__n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    exact = (approx.select("day").join(newc, "day", "left")
+             .withColumn("n_exact",
+                         F.sum(F.coalesce(F.col("__n"), F.lit(0))).over(w))
+             .select("day", "n_exact"))
+    return (approx.join(exact, "day")
+            .select("day", "harmonic_sum", "approx_distinct", "n_exact"))
+
+
+def q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape (correlated aggregate subquery): lineitems whose
+    quantity falls below 0.2x their part's average, for one brand/type
+    slice -- decorrelated the Spark-native way into a per-part aggregate
+    JOINED back (Catalyst's own rewrite for such subqueries). The tiny
+    filtered part dim broadcasts; the threshold is sum/count of exact
+    operands then one multiply -- deterministic IEEE, replayed verbatim."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .where((F.col("p_brand") == "Brand#2")
+                & (F.col("p_type") == "ECONOMY"))
+         .select(F.col("p_partkey").alias("l_partkey")))
+    th = (li.groupBy("l_partkey")
+          .agg(((F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+                 / F.count("*")) * F.lit(0.2)).alias("__th")))
+    return (
+        li.join(F.broadcast(p), "l_partkey").join(th, "l_partkey")
+        .where(F.col("l_quantity") < F.col("__th"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_small"),
+             F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double")
+             .alias("small_revenue"))
+    )
+
+
+def q_rank_functions(spark, sf_dir):
+    """The remaining ranking-window surface in one query: RANK /
+    DENSE_RANK / PERCENT_RANK / CUME_DIST over a deliberately TIED
+    ordering (price bands) per priority. percent_rank = (rank-1)/(n-1)
+    and cume_dist = peers/n are single divisions of exact integers --
+    bit-identical cross-engine; tie semantics themselves are the thing
+    under test."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    band = F.floor(F.col("o_totalprice") / 10000.0).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy("band")
+    return (
+        o.withColumn("band", band)
+        .select("o_orderpriority", "o_orderkey", "band",
+                F.rank().over(w).cast("bigint").alias("rnk"),
+                F.dense_rank().over(w).cast("bigint").alias("drnk"),
+                F.percent_rank().over(w).alias("prnk"),
+                F.cume_dist().over(w).alias("cd"))
+    )
+
+
+def q_skyline(spark, sf_dir):
+    """2-D Pareto frontier (skyline) of parts -- larger size at a lower
+    best price: keep (size, best_price) iff NO strictly larger size sells
+    at a price <= it. The distributed-native decomposition: dominance
+    within equal size collapses to one map-side-combined MIN per size
+    (<=|sizes| rows), then the cross-size frontier is a running-MIN filter
+    over that summary (window ordered by size desc, frame excluding
+    current) -- the raw table never self-joins. The oracle states the
+    DEFINITION instead (NOT EXISTS a dominating row): a different
+    formulation, identical result -- stronger evidence than replaying the
+    plan."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    best = (p.groupBy("p_size")
+            .agg(F.min("p_retailprice").alias("best_price"),
+                 F.count("*").alias("n_parts")))
+    w = (Window.orderBy(F.col("p_size").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    runmin = F.min("best_price").over(w)
+    return (best.withColumn("__rm", runmin)
+            .where(F.col("__rm").isNull() | (F.col("best_price") < F.col("__rm")))
+            .select("p_size", "best_price", "n_parts")
+            .orderBy("p_size"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -2274,6 +2370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_join": q_similarity_join,
         "q_ewma": q_ewma,
         "q_line_interpolate": q_line_interpolate,
+        "q_hll_cumulative": q_hll_cumulative,
+        "q17_small_qty": q17_small_qty,
+        "q_rank_functions": q_rank_functions,
+        "q_skyline": q_skyline,
     }
 
 
@@ -2543,6 +2643,67 @@ _LINE_INTERPOLATE_ORACLE = f"""
                 THEN y + ((dd - 0.0) / ln1) * dy1
                 ELSE y + (((dd - (0.0 + ln1)) / ln2) * dy2) END AS py
     FROM d"""
+
+
+_Q17_ORACLE = """
+    WITH p AS (SELECT p_partkey FROM part
+               WHERE p_brand = 'Brand#2' AND p_type = 'ECONOMY'),
+    th AS (SELECT l_partkey,
+                  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)) * 0.2 AS __th
+           FROM lineitem GROUP BY l_partkey)
+    SELECT l.l_partkey, COUNT(*) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS small_revenue
+    FROM lineitem l
+    JOIN p ON p.p_partkey = l.l_partkey
+    JOIN th ON th.l_partkey = l.l_partkey
+    WHERE l.l_quantity < th.__th
+    GROUP BY l.l_partkey"""
+
+_RANK_FUNCTIONS_ORACLE = """
+    SELECT o_orderpriority, o_orderkey,
+           CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS band,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT))"""
+
+
+_SKYLINE_ORACLE = """
+    WITH best AS (SELECT p_size, MIN(p_retailprice) AS best_price,
+                         COUNT(*) AS n_parts
+                  FROM part GROUP BY p_size)
+    SELECT p_size, best_price, n_parts FROM best b
+    WHERE NOT EXISTS (SELECT 1 FROM best d
+                      WHERE d.p_size > b.p_size
+                        AND d.best_price <= b.best_price)
+    ORDER BY p_size"""
+
+
+def _hll_cumulative_oracle() -> str:
+    from spatial.datapipe.sketches import approx_distinct_cumulative_sql
+
+    acd = approx_distinct_cumulative_sql("SELECT user_id, ts FROM events",
+                                         "user_id", "ts", p=8)
+    return f"""
+    WITH __a AS ({acd}),
+    __first AS (SELECT user_id,
+                       CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day
+                FROM events GROUP BY user_id),
+    __new AS (SELECT day, COUNT(*) AS n FROM __first GROUP BY day),
+    __exact AS (
+      SELECT a.day,
+             SUM(COALESCE(n.n, 0)) OVER (ORDER BY a.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_exact
+      FROM (SELECT day FROM __a) a LEFT JOIN __new n ON n.day = a.day)
+    SELECT a.day, a.harmonic_sum, a.approx_distinct,
+           CAST(e.n_exact AS BIGINT) AS n_exact
+    FROM __a a JOIN __exact e ON e.day = a.day"""
 
 
 def _similarity_join_oracle() -> str:
@@ -3429,4 +3590,8 @@ def oracle_sql() -> dict[str, str]:
         "q_similarity_join": _similarity_join_oracle(),
         "q_ewma": _EWMA_ORACLE,
         "q_line_interpolate": _LINE_INTERPOLATE_ORACLE,
+        "q_hll_cumulative": _hll_cumulative_oracle(),
+        "q17_small_qty": _Q17_ORACLE,
+        "q_rank_functions": _RANK_FUNCTIONS_ORACLE,
+        "q_skyline": _SKYLINE_ORACLE,
     }

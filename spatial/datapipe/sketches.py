@@ -407,3 +407,113 @@ __q AS (
 )
 SELECT q, CAST(n_le AS BIGINT) AS n_le, bin_lo AS est
 FROM __q JOIN __c ON n_le >= __t AND n_le - n < __t"""
+
+
+def approx_distinct_cumulative(df: DataFrame, value_col: str,
+                               time_col: str, p: int = 8) -> DataFrame:
+    """Time-cumulative deterministic-HLL: for every day, the distinct
+    estimate over ALL rows up to and including it -- computed by MERGING
+    the per-day register sets (register merge = elementwise MAX), never by
+    re-scanning history.  This is the property that makes a sketch a
+    sketch: daily states are tiny (<= m longs), and the running estimate
+    is a summary-side window over the |days| x m grid -- the
+    incremental/streaming "distinct users to date" plan whose exact
+    counterpart needs the full id history every day.
+
+    Determinism: identical lowbias32 hash + integer rho as
+    approx_count_distinct; merge is MAX (order-free); the per-day harmonic
+    sum stays an exact integer; one IEEE division per day.  Output:
+    (day, harmonic_sum, approx_distinct)."""
+    m = 1 << p
+    base = df.select(F.date_trunc("day", F.col(time_col)).alias("__day"),
+                     F.col(value_col))
+    hashed = _hash32_stages(base, value_col, ["__day"])
+    daily = (
+        hashed.select("__day", F.pmod(F.col("__x"), F.lit(m)).alias("__bucket"),
+                      _rho(F.expr(f"__x DIV {m}")).alias("__rho"))
+        .groupBy("__day", "__bucket").agg(F.max("__rho").alias("__M"))
+    )
+    # day x observed-bucket grid so each day sees every bucket's history
+    days = daily.select("__day").distinct()
+    buckets = daily.select("__bucket").distinct()
+    grid = (days.crossJoin(buckets)
+            .join(daily, ["__day", "__bucket"], "left"))
+    w = Window.partitionBy("__bucket").orderBy("__day") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.withColumn("__Mc", F.max("__M").over(w))  # max ignores nulls
+    per_day = (
+        cum.groupBy("__day")
+        .agg(F.sum(F.when(F.col("__Mc").isNull(), F.lit(1 << _K))
+                   .otherwise(F.expr(
+                       f"shiftleft(CAST(1 AS BIGINT), {_K} - __Mc)")))
+             .alias("__sp"),
+             F.count("*").alias("__nb"))
+    )
+    s_total = F.col("__sp") + (F.lit(m) - F.col("__nb")) * F.lit(1 << _K)
+    num = _alpha(m) * float(m * m) * float(1 << _K)
+    return (
+        per_day.withColumn("harmonic_sum", s_total.cast("long"))
+        .withColumn("approx_distinct",
+                    F.lit(num) / F.col("harmonic_sum").cast("double"))
+        .select(F.col("__day").alias("day"), "harmonic_sum",
+                "approx_distinct")
+    )
+
+
+def approx_distinct_cumulative_sql(table_sql: str, value_col: str,
+                                   time_col: str, p: int = 8) -> str:
+    """The identical cumulative merge in DuckDB SQL (BIGINT throughout;
+    day CAST to TIMESTAMP to match Spark's date_trunc type)."""
+    from ..synth import sql_double
+
+    m = 1 << p
+    steps = [
+        f"(xor(({value_col} >> 32), {value_col}) & {_MASK})",
+        "xor(__x, (__x >> 16))",
+        f"((__x * {_MUL1}) & {_MASK})",
+        "xor(__x, (__x >> 15))",
+        f"((__x * {_MUL2}) & {_MASK})",
+        "xor(__x, (__x >> 15))",
+    ]
+    ctes = [f"""__x0 AS (
+  SELECT CAST(date_trunc('day', {time_col}) AS TIMESTAMP) AS __day,
+         {steps[0]} AS __x FROM ({table_sql}))"""]
+    for i, s in enumerate(steps[1:], 1):
+        ctes.append(f"__x{i} AS (SELECT __day, {s} AS __x FROM __x{i - 1})")
+    last = f"__x{len(steps) - 1}"
+    num = _alpha(m) * float(m * m) * float(1 << _K)
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+__daily AS (
+  SELECT __day, __x % {m} AS __bucket,
+         MAX({_rho_sql(f"(__x // {m})")}) AS __M
+  FROM {last} GROUP BY __day, __x % {m}
+),
+__days AS (SELECT DISTINCT __day FROM __daily),
+__buckets AS (SELECT DISTINCT __bucket FROM __daily),
+__grid AS (
+  SELECT d.__day, b.__bucket, dd.__M
+  FROM __days d CROSS JOIN __buckets b
+  LEFT JOIN __daily dd ON dd.__day = d.__day AND dd.__bucket = b.__bucket
+),
+__cum AS (
+  SELECT __day, __bucket,
+         MAX(__M) OVER (PARTITION BY __bucket ORDER BY __day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS __Mc
+  FROM __grid
+),
+__agg AS (
+  SELECT __day,
+         CAST(SUM(CASE WHEN __Mc IS NULL THEN {1 << _K}
+                       ELSE (1::BIGINT << ({_K} - __Mc)) END) AS BIGINT)
+           AS __sp,
+         COUNT(*) AS __nb
+  FROM __cum GROUP BY __day
+)
+SELECT __day AS day,
+       CAST(__sp + ({m} - __nb) * {1 << _K} AS BIGINT) AS harmonic_sum,
+       {sql_double(num)}
+         / CAST(__sp + ({m} - __nb) * {1 << _K} AS DOUBLE) AS approx_distinct
+FROM __agg"""
