@@ -2228,6 +2228,24 @@ def q_skyline(spark, sf_dir):
             .orderBy("p_size"))
 
 
+def q_image_ahash(spark, sf_dir):
+    """Perceptual image dedup (multimodal.image_ahash): real BMP decode ->
+    8x8 nearest downsample -> mean-threshold 64-bit aHash (two 32-bit
+    limbs), grouped to find duplicates. The fixture plants exact
+    re-encoded copies AND 32x32 nearest-neighbor upscales -- the upscale
+    selects the identical 8x8 source pixels, so its hash provably equals
+    the original's (the property that catches re-hosted thumbnails). The
+    oracle inlines the pre-encode ground-truth pixels and replays the
+    hash arithmetic, verifying VALUES through encode->decode->hash."""
+    from spatial.datapipe.multimodal import (image_ahash,
+                                             synth_images_with_dups)
+
+    media = synth_images_with_dups(spark, 120)
+    h = image_ahash(media)
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    return h.withColumn("n_same_hash", F.count("*").over(w).cast("bigint"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -2374,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty": q17_small_qty,
         "q_rank_functions": q_rank_functions,
         "q_skyline": q_skyline,
+        "q_image_ahash": q_image_ahash,
     }
 
 
@@ -2682,6 +2701,12 @@ _SKYLINE_ORACLE = """
                       WHERE d.p_size > b.p_size
                         AND d.best_price <= b.best_price)
     ORDER BY p_size"""
+
+
+def _image_ahash_oracle() -> str:
+    from spatial.datapipe.multimodal import ahash_oracle_sql
+
+    return ahash_oracle_sql(120)
 
 
 def _hll_cumulative_oracle() -> str:
@@ -3594,4 +3619,5 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty": _Q17_ORACLE,
         "q_rank_functions": _RANK_FUNCTIONS_ORACLE,
         "q_skyline": _SKYLINE_ORACLE,
+        "q_image_ahash": _image_ahash_oracle(),
     }

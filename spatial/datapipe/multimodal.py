@@ -383,3 +383,130 @@ __full AS (
 SELECT media_id, kind, CAST(bin AS INT) AS bin,
        CAST(cnt AS DOUBLE) / total AS p, TRUE AS decode_ok
 FROM __full"""
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hash (aHash) -- multimodal dedup
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "media_id long, ahash_hi long, ahash_lo long, decode_ok boolean"
+
+
+def ahash_limbs(img: np.ndarray) -> tuple[int, int]:
+    """64-bit average hash of a grayscale image as two 32-bit limbs:
+    nearest-neighbor 8x8 downsample (resize_gray: pure integer index
+    selection), mean threshold, row-major bits. Every arithmetic step is
+    exact: the 64 selected pixels are integer-valued, their sum and the
+    /64 power-of-two divide are exact in float64 (order-independent), and
+    the bit weights are exact uint64 -- so the hash is bit-reproducible
+    and SQL-replayable. Limbs (not one int64) keep bit 63 out of the
+    signed-overflow zone (the dedup.py HUGEINT lesson, solved cheaper)."""
+    small = resize_gray(img, 8, 8).ravel()
+    mean = small.sum() / 64.0
+    bits = small > mean
+    w = (1 << np.arange(32, dtype=np.uint64))
+    hi = int((bits[:32] * w).sum(dtype=np.uint64))
+    lo = int((bits[32:] * w).sum(dtype=np.uint64))
+    return hi, lo
+
+
+def image_ahash(df: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """media table -> (media_id, ahash_hi, ahash_lo, decode_ok): the
+    perceptual-dedup key for image payloads (exact copies AND nearest-
+    neighbor rescales map to the identical hash, because the 8x8 grid
+    selects the same source pixels -- pinned in tests). Bytes cross Arrow
+    once per batch; undecodable rows get nulls, not failures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los, oks = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                try:
+                    img = decode_image(bytes(payload), meta, fake=fake_decode)
+                    hi, lo = ahash_limbs(img)
+                    his.append(hi)
+                    los.append(lo)
+                    oks.append(True)
+                except Exception:
+                    his.append(None)
+                    los.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "ahash_hi": pd.array(his, dtype="Int64"),
+                "ahash_lo": pd.array(los, dtype="Int64"),
+                "decode_ok": oks,
+            })
+
+    return df.mapInPandas(run, AHASH_SCHEMA)
+
+
+def synth_images_with_dups(spark: SparkSession, n: int,
+                           seed: int = 42) -> DataFrame:
+    """Image rows of synth_media plus planted duplicates: an exact
+    re-encoded copy (id+10000) for every other image and a 32x32
+    nearest-neighbor UPSCALE (id+20000) for every third -- the upscale
+    selects the identical 8x8 source pixels, so its aHash provably equals
+    the original's (scale invariance, the property that makes aHash a
+    dedup key for re-hosted thumbnails)."""
+    rows = []
+    for i, k, arr in _synth_media_draws(n, seed):
+        if k != "image":
+            continue
+        meta = {"mime": "image/bmp", "width": 16, "height": 16,
+                "duration_ms": None}
+        rows.append((i, "image", encode_bmp(arr), meta))
+        if i % 2 == 0:
+            rows.append((i + 10000, "image", encode_bmp(arr), meta))
+        if i % 3 == 0:
+            up = np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1)
+            meta32 = dict(meta, width=32, height=32)
+            rows.append((i + 20000, "image", encode_bmp(up), meta32))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def ahash_oracle_sql(n: int, seed: int = 42) -> str:
+    """Ground-truth replay of image_ahash over synth_images_with_dups:
+    the 64 SELECTED pre-encode pixels per row are inlined (selection is
+    pure integer index arithmetic done here in the generator; the values
+    never pass through the engine decoders), then mean/threshold/limb
+    arithmetic is replayed in SQL -- verifying hash VALUES end to end
+    through encode_bmp -> decode_bmp -> resize -> threshold."""
+    sel8 = (np.arange(8) * 16) // 8            # rows/cols picked from 16x16
+    # (the 32x32 upscale's selection (arange(8)*32)//8, mapped back through
+    # the repeat, lands on exactly these same source cells)
+    rows = []
+    for i, k, arr in _synth_media_draws(n, seed):
+        if k != "image":
+            continue
+        picked = arr.astype(np.int64)[sel8][:, sel8].ravel().tolist()
+        lits = "[" + ",".join(map(str, picked)) + "]"
+        rows.append(f"({i}, {lits})")
+        if i % 2 == 0:
+            rows.append(f"({i + 10000}, {lits})")
+        if i % 3 == 0:
+            # upscale selection resolves to the same source pixels
+            rows.append(f"({i + 20000}, {lits})")
+    values = ",\n".join(rows)
+    return f"""
+WITH __m(media_id, px) AS (VALUES
+{values}
+),
+__v AS (
+  SELECT media_id, t.k, px[t.k + 1] AS v,
+         CAST(list_sum(px) AS DOUBLE) / 64.0 AS mean
+  FROM __m, (SELECT unnest(range(64)) AS k) t
+),
+__h AS (
+  SELECT media_id,
+         CAST(COALESCE(SUM(CASE WHEN v > mean AND k < 32
+                                THEN (1::BIGINT << k) END), 0) AS BIGINT)
+           AS ahash_hi,
+         CAST(COALESCE(SUM(CASE WHEN v > mean AND k >= 32
+                                THEN (1::BIGINT << (k - 32)) END), 0)
+              AS BIGINT) AS ahash_lo
+  FROM __v GROUP BY media_id
+)
+SELECT media_id, ahash_hi, ahash_lo, TRUE AS decode_ok,
+       COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS n_same_hash
+FROM __h"""

@@ -724,3 +724,33 @@ def test_similarity_join_equals_bruteforce(spark):
             want[(a, b)] = (inter, uni)
     assert got == want
     assert len(want) >= 6  # planted near-dups must fire
+
+
+def test_image_ahash_scale_invariance(spark):
+    """Exact copies and nearest-neighbor upscales hash identically; a
+    genuinely different image does not; corrupt payloads yield null."""
+    import numpy as np
+
+    from spatial.datapipe.multimodal import (ahash_limbs, encode_bmp,
+                                             image_ahash)
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    b = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    up = np.repeat(np.repeat(a, 2, axis=0), 2, axis=1)
+    meta = {"mime": "image/bmp", "width": 16, "height": 16,
+            "duration_ms": None}
+    rows = [(0, "image", encode_bmp(a), meta),
+            (1, "image", encode_bmp(a), meta),          # exact copy
+            (2, "image", encode_bmp(up), dict(meta, width=32, height=32)),
+            (3, "image", encode_bmp(b), meta),
+            (4, "image", b"garbage-not-a-bmp", meta)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, "
+              "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    got = {r["media_id"]: (r["ahash_hi"], r["ahash_lo"], r["decode_ok"])
+           for r in image_ahash(df).collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[0][:2] != got[3][:2]
+    assert got[4] == (None, None, False)
+    assert got[0][:2] == ahash_limbs(a.astype(float))
