@@ -72,31 +72,44 @@ def contamination_pairs(test_df: DataFrame, train_df: DataFrame,
                         max_df: int = 100, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """(test_id, train_id, overlap, n_test_shingles, ratio) for every
-    test/train pair with containment ratio >= threshold."""
+    test/train pair with containment ratio >= threshold.
+
+    The train shingle rows stay persisted behind the returned lazy frame
+    (they back both the guard aggregate and the candidate join); callers
+    running many corpora through one session may ``spark.catalog.
+    clearCache()`` or unpersist after consuming the result."""
     sh = make_shingle_set_udf(shingle_k)
 
-    def shingle_rows(df, out_id):
-        return (
-            df.where(F.length(F.col(text_col)) > 0)
-            .select(F.col(id_col).alias(out_id),
-                    F.explode(sh(F.col(text_col))).alias("sh"))
-        )
-
-    tsh = shingle_rows(test_df, "test_id")
-    rsh = shingle_rows(train_df, "train_id")
-    # denominator BEFORE any guard: full test shingle-set size
-    sizes = tsh.groupBy("test_id").agg(
-        F.count("*").alias("n_test_shingles"))
+    # ONE UDF pass on the test side: the denominator (full distinct-set
+    # size, before any guard) rides the same projection as the explode --
+    # F.size(__arr) and explode(__arr) both read the one bound attribute,
+    # so no second text scan and no separate sizes aggregate/join.
+    tsh = (
+        test_df.where(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col).alias("test_id"),
+                sh(F.col(text_col)).alias("__arr"))
+        .select("test_id", F.size("__arr").alias("n_test_shingles"),
+                F.explode("__arr").alias("sh"))
+    )
+    # ONE UDF pass on the train side: the exploded (train_id, sh) longs are
+    # persisted text-free (the dedup.py signature-cache discipline), so the
+    # boilerplate-guard aggregate fills the cache and the candidate join
+    # reads it back instead of re-running the Python shingler.
+    rsh = (
+        train_df.where(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col).alias("train_id"),
+                F.explode(sh(F.col(text_col))).alias("sh"))
+    ).persist()
     # boilerplate guard: drop train shingles present in > max_df train docs
     ok = (rsh.groupBy("sh").agg(F.count("*").alias("__df"))
           .where(F.col("__df") <= max_df).select("sh"))
-    rsh = rsh.join(ok, "sh")
     matches = (
-        tsh.join(rsh, "sh")
-        .groupBy("test_id", "train_id").agg(F.count("*").alias("overlap"))
+        tsh.join(rsh.join(ok, "sh"), "sh")
+        .groupBy("test_id", "train_id", "n_test_shingles")
+        .agg(F.count("*").alias("overlap"))
     )
     return (
-        matches.join(sizes, "test_id")
+        matches
         .withColumn("ratio",
                     F.col("overlap").cast("double")
                     / F.col("n_test_shingles").cast("double"))
