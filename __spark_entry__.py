@@ -2246,6 +2246,35 @@ def q_image_ahash(spark, sf_dir):
     return h.withColumn("n_same_hash", F.count("*").over(w).cast("bigint"))
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Streaming SESSION windows (streaming.sessionize_stream --
+    F.session_window, the stateful gap-merging operator, formerly
+    pytest-pinned only): availableNow file source, complete-mode memory
+    sink. On finite input the streamed sessions must equal batch gap
+    sessionization -- the unified-semantics contract -- which the oracle
+    replays as the classic lag/gap-break/running-sum session assignment
+    with [first, last + gap) window bounds (exact microsecond timestamp
+    arithmetic)."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from spatial.streaming import run_available_now, sessionize_stream
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+              # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP --
+              # under the UTC session the cast is value-preserving
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    sess = sessionize_stream(stream, ts_col="ts", key_col="user_id",
+                             gap="4 hours", watermark="1 hour")
+    name = "q_stream_sess_" + uuid.uuid4().hex[:10]
+    run_available_now(sess, tempfile.mkdtemp(prefix="q_stream_sess_ckpt_"),
+                      name, output_mode="complete")
+    return spark.table(name)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -2393,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_functions": q_rank_functions,
         "q_skyline": q_skyline,
         "q_image_ahash": q_image_ahash,
+        "q_stream_sessions": q_stream_sessions,
     }
 
 
@@ -2691,6 +2721,25 @@ _RANK_FUNCTIONS_ORACLE = """
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT))"""
 
+
+_STREAM_SESSIONS_ORACLE = """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM o)
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 4 HOUR AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid"""
 
 _SKYLINE_ORACLE = """
     WITH best AS (SELECT p_size, MIN(p_retailprice) AS best_price,
@@ -3620,4 +3669,5 @@ def oracle_sql() -> dict[str, str]:
         "q_rank_functions": _RANK_FUNCTIONS_ORACLE,
         "q_skyline": _SKYLINE_ORACLE,
         "q_image_ahash": _image_ahash_oracle(),
+        "q_stream_sessions": _STREAM_SESSIONS_ORACLE,
     }
