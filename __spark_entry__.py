@@ -2275,6 +2275,21 @@ def q_stream_sessions(spark, sf_dir):
     return spark.table(name)
 
 
+def q_grouped_quantiles(spark, sf_dir):
+    """Per-GROUP mergeable quantiles (sketches.grouped_histogram_quantiles):
+    p50/p90 of document length per language -- the "percentiles per
+    language over 10^12 docs" question answered with ONE histogram
+    aggregate (groups x 32 bins out) and summary-side selection, no
+    per-group percentile sort. Same dyadic determinism as
+    q_histogram_quantiles, group-keyed."""
+    from spatial.datapipe.sketches import grouped_histogram_quantiles
+
+    d = _docs(spark, sf_dir).withColumn("__v", F.col("n_chars").cast("double"))
+    return grouped_histogram_quantiles(d, "__v", ["lang"], lo=0.0,
+                                       width=32.0, n_bins=32,
+                                       qs=[0.5, 0.9])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -2423,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_image_ahash": q_image_ahash,
         "q_stream_sessions": q_stream_sessions,
+        "q_grouped_quantiles": q_grouped_quantiles,
     }
 
 
@@ -2778,6 +2794,14 @@ def _hll_cumulative_oracle() -> str:
     SELECT a.day, a.harmonic_sum, a.approx_distinct,
            CAST(e.n_exact AS BIGINT) AS n_exact
     FROM __a a JOIN __exact e ON e.day = a.day"""
+
+
+def _grouped_quantiles_oracle() -> str:
+    from spatial.datapipe.sketches import grouped_histogram_quantiles_sql
+
+    return grouped_histogram_quantiles_sql(
+        "SELECT lang, CAST(n_chars AS DOUBLE) AS __v FROM documents",
+        "__v", ["lang"], lo=0.0, width=32.0, n_bins=32, qs=[0.5, 0.9])
 
 
 def _similarity_join_oracle() -> str:
@@ -3670,4 +3694,5 @@ def oracle_sql() -> dict[str, str]:
         "q_skyline": _SKYLINE_ORACLE,
         "q_image_ahash": _image_ahash_oracle(),
         "q_stream_sessions": _STREAM_SESSIONS_ORACLE,
+        "q_grouped_quantiles": _grouped_quantiles_oracle(),
     }

@@ -517,3 +517,81 @@ SELECT __day AS day,
        {sql_double(num)}
          / CAST(__sp + ({m} - __nb) * {1 << _K} AS DOUBLE) AS approx_distinct
 FROM __agg"""
+
+
+def grouped_histogram_quantiles(df: DataFrame, value_col: str,
+                                group_cols: Sequence[str], lo: float,
+                                width: float, n_bins: int,
+                                qs: Sequence[float]) -> DataFrame:
+    """Per-GROUP mergeable quantiles: the histogram_quantiles plan with the
+    group key threaded through every stage -- the data still pays exactly
+    ONE map-side-combinable aggregate (groups x n_bins rows out), and the
+    selection windows/joins run over that summary only. This is the shape
+    that answers "p50/p95 per language over 10^12 docs" without a
+    per-group percentile sort. Output: group cols + (q, n_le, est)."""
+    groups = list(group_cols)
+    inv = 1.0 / width
+    raw = F.floor((F.col(value_col) - F.lit(lo)) * F.lit(inv))
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).cast("long")
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, bin_.alias("bin"))
+        .groupBy(*groups, "bin").agg(F.count("*").alias("n"))
+        .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(width))
+    )
+    w = Window.partitionBy(*groups).orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("n_le", F.sum("n").over(w))
+    tot = hist.groupBy(*groups).agg(F.sum("n").alias("__N"))
+    qdf = (tot.select(*groups, "__N",
+                      F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+                      .alias("q"))
+           .withColumn("__t", F.greatest(
+               F.lit(1).cast("long"),
+               F.ceil(F.col("q") * F.col("__N")).cast("long"))))
+    cond = (F.col("n_le") >= F.col("__t")) \
+        & (F.col("n_le") - F.col("n") < F.col("__t"))
+    joined = qdf.join(cum, groups).where(cond)
+    return joined.select(*groups, "q",
+                         F.col("n_le").cast("long").alias("n_le"),
+                         F.col("bin_lo").alias("est"))
+
+
+def grouped_histogram_quantiles_sql(table_sql: str, value_col: str,
+                                    group_cols: Sequence[str], lo: float,
+                                    width: float, n_bins: int,
+                                    qs: Sequence[float]) -> str:
+    """The identical grouped summary + selection in DuckDB SQL."""
+    from ..synth import sql_double
+
+    g = ", ".join(group_cols)
+    inv = sql_double(1.0 / width)
+    lo_s = sql_double(lo)
+    w_s = sql_double(width)
+    raw = f"FLOOR(({value_col} - {lo_s}) * {inv})"
+    bin_ = f"CAST(GREATEST(0, LEAST({n_bins - 1}, {raw})) AS BIGINT)"
+    qvals = ", ".join(sql_double(float(q)) for q in qs)
+    on = " AND ".join(f"c.{col} = __q.{col}" for col in group_cols)
+    gsel = ", ".join(f"c.{col}" for col in group_cols)
+    return f"""
+WITH __h AS (
+  SELECT {g}, {bin_} AS bin, COUNT(*) AS n,
+         {lo_s} + {bin_} * {w_s} AS bin_lo
+  FROM ({table_sql}) __src WHERE {value_col} IS NOT NULL
+  GROUP BY {g}, bin, bin_lo
+),
+__c AS (
+  SELECT {g}, bin, bin_lo, n,
+         SUM(n) OVER (PARTITION BY {g} ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_le
+  FROM __h
+),
+__tot AS (SELECT {g}, SUM(n) AS __N FROM __h GROUP BY {g}),
+__q AS (
+  SELECT {g}, q, GREATEST(1, CAST(CEIL(q * __N) AS BIGINT)) AS __t
+  FROM __tot CROSS JOIN (SELECT unnest([{qvals}]) AS q) __qs
+)
+SELECT {gsel}, __q.q, CAST(c.n_le AS BIGINT) AS n_le, c.bin_lo AS est
+FROM __q JOIN __c c ON {on}
+WHERE c.n_le >= __q.__t AND c.n_le - c.n < __q.__t"""
