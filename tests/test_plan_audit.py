@@ -136,3 +136,21 @@ def test_bucketed_join_has_no_exchange(spark):
     # content identical to the plain join (layout never changes results)
     plain = c.join(o, "c_custkey")
     assert j.count() == plain.count()
+
+
+def test_text_set_operators_are_pure_jvm(spark):
+    """The round-3 text operators built on split/explode/window
+    (set-similarity join, PMI collocations, inverted index) must stay
+    whole-stage-codegen JVM: tokenization is F.split, never a Python UDF."""
+    from spatial.datapipe.index import inverted_index
+    from spatial.datapipe.setjoin import similarity_join
+    from spatial.datapipe.textstats import pmi_bigrams
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    for q in (similarity_join(docs, 19, 20),
+              pmi_bigrams(docs, k=10, min_count=3),
+              inverted_index(docs, max_df=300, max_postings=8)):
+        plan = _plan(q)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

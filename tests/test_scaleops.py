@@ -410,3 +410,33 @@ def test_histogram_quantiles_within_bin_width(spark):
         true_q = vals[max(1, math.ceil(r["q"] * n)) - 1]
         assert r["est"] <= true_q < r["est"] + width
         assert r["n_le"] == sum(v < r["est"] + width for v in vals)
+
+
+def test_grouped_quantiles_partition_invariant(spark):
+    """Grouped mergeable quantiles: identical at 2 vs 16 partitions and
+    within one bin width of the exact per-group order statistic."""
+    import math
+
+    from spatial.datapipe.sketches import grouped_histogram_quantiles
+
+    rows = [(i, f"g{i % 3}", float((i * 37) % 512)) for i in range(3000)]
+    base = spark.createDataFrame(rows, "id long, g string, v double")
+
+    def run(df):
+        return {(r["g"], r["q"]): (r["n_le"], r["est"]) for r in
+                grouped_histogram_quantiles(df, "v", ["g"], lo=0.0,
+                                            width=32.0, n_bins=16,
+                                            qs=[0.5, 0.9]).collect()}
+
+    got2 = run(base.repartition(2))
+    got16 = run(base.repartition(16))
+    assert got2 == got16
+    by_g = {}
+    for i, g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        for q in (0.5, 0.9):
+            exact = vals[max(1, math.ceil(q * len(vals))) - 1]
+            est = got2[(g, q)][1]
+            assert est <= exact < est + 32.0
