@@ -2290,6 +2290,25 @@ def q_grouped_quantiles(spark, sf_dir):
                                        qs=[0.5, 0.9])
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the arbitrary-subset form CUBE/ROLLUP are
+    sugar for): per-status, per-priority, and grand-total revenue in ONE
+    aggregation pass -- Spark expands the sets map-side, so the input is
+    scanned once, not once per set (the UNION ALL a naive writer reaches
+    for). GROUPING flags disambiguate rolled-up NULLs; decimal-exact."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -2439,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_ahash": q_image_ahash,
         "q_stream_sessions": q_stream_sessions,
         "q_grouped_quantiles": q_grouped_quantiles,
+        "q_grouping_sets": q_grouping_sets,
     }
 
 
@@ -3695,4 +3715,13 @@ def oracle_sql() -> dict[str, str]:
         "q_image_ahash": _image_ahash_oracle(),
         "q_stream_sessions": _STREAM_SESSIONS_ORACLE,
         "q_grouped_quantiles": _grouped_quantiles_oracle(),
+        "q_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue,
+                   COUNT(*) AS n_orders,
+                   CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                   CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     }
