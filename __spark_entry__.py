@@ -2309,6 +2309,30 @@ def q_grouping_sets(spark, sf_dir):
     """)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling (curation.weighted_sample):
+    per-row integer keep-probability -- here a language×length schedule
+    (en kept at 80%, de/fr at 40%, others 10%, halved for short docs) --
+    applied as `hash_bucket(id) < weight`. Pure function of (id, weight):
+    partition/retry/engine-stable, and monotone in the weight (tightening
+    a schedule only removes rows). Output: per-lang kept counts + the
+    decomposable bucket extrema for audit."""
+    from spatial.datapipe.curation import weighted_sample
+
+    d = _docs(spark, sf_dir)
+    base = (F.when(F.col("lang") == "en", 8000)
+            .when(F.col("lang").isin("de", "fr"), 4000)
+            .otherwise(1000))
+    wt = F.when(F.col("n_chars") < 150, (base / 2).cast("int")) \
+        .otherwise(base.cast("int"))
+    kept = weighted_sample(d, wt)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.min("bucket").alias("min_bucket"),
+                 F.max("bucket").alias("max_bucket"))
+            .orderBy("lang"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -2459,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sessions": q_stream_sessions,
         "q_grouped_quantiles": q_grouped_quantiles,
         "q_grouping_sets": q_grouping_sets,
+        "q_weighted_sample": q_weighted_sample,
     }
 
 
@@ -2822,6 +2847,27 @@ def _grouped_quantiles_oracle() -> str:
     return grouped_histogram_quantiles_sql(
         "SELECT lang, CAST(n_chars AS DOUBLE) AS __v FROM documents",
         "__v", ["lang"], lo=0.0, width=32.0, n_bins=32, qs=[0.5, 0.9])
+
+
+def _weighted_sample_oracle() -> str:
+    from spatial.datapipe.curation import sample_bucket_sql
+
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN lang = 'en' THEN 8000
+                  WHEN lang IN ('de', 'fr') THEN 4000
+                  ELSE 1000 END AS base
+      FROM documents),
+    k AS (
+      SELECT doc_id, lang,
+             CASE WHEN n_chars < 150 THEN CAST(base / 2 AS INT)
+                  ELSE base END AS wt,
+             {sample_bucket_sql('doc_id')} AS bucket
+      FROM w)
+    SELECT lang, COUNT(*) AS n_kept,
+           MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
+    FROM k WHERE bucket < wt GROUP BY lang ORDER BY lang"""
 
 
 def _similarity_join_oracle() -> str:
@@ -3724,4 +3770,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+        "q_weighted_sample": _weighted_sample_oracle(),
     }

@@ -145,3 +145,21 @@ def cap_per_key(df: DataFrame, key_col: str, k: int,
     final = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
     return (pruned.withColumn("rank", F.row_number().over(final).cast("int"))
             .where(F.col("rank") <= k))
+
+
+def weighted_sample(df: DataFrame, weight: Column,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-row WEIGHTED deterministic Bernoulli sampling: keep a row iff
+    ``sample_bucket(id) < weight`` where ``weight`` is any integer column
+    expression in [0, 10000] (per-ten-thousand keep probability) -- the
+    quality-weighted curation sampler (upweight high-quality sources,
+    downweight boilerplate domains) with hash_sample's stability contract:
+    the decision is a pure function of (id, weight), identical across
+    partitionings, retries, and engines, and monotone in the weight (a row
+    kept at weight w stays kept at any w' >= w, so tightening a sampling
+    schedule only removes rows -- the property reproducible data pipelines
+    need). Embarrassingly parallel; adds ``bucket``."""
+    return (
+        df.withColumn("bucket", sample_bucket(F.col(id_col)))
+        .where(F.col("bucket") < weight)
+    )

@@ -754,3 +754,23 @@ def test_image_ahash_scale_invariance(spark):
     assert got[0][:2] != got[3][:2]
     assert got[4] == (None, None, False)
     assert got[0][:2] == ahash_limbs(a.astype(float))
+
+
+def test_weighted_sample_monotone_and_stable(spark):
+    """Kept set at weight w is a subset of the kept set at any w' >= w
+    (nested samples by construction) and partition-invariant."""
+    from spatial.datapipe.curation import weighted_sample
+
+    base = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+
+    def keep(df, w):
+        return {r["doc_id"] for r in
+                weighted_sample(df, F.lit(w)).collect()}
+
+    k2000 = keep(base.repartition(3), 2000)
+    k5000 = keep(base.repartition(11), 5000)
+    assert k2000 <= k5000
+    assert keep(base.repartition(16), 2000) == k2000
+    # rates land near the nominal probabilities
+    assert abs(len(k2000) / 5000 - 0.2) < 0.03
+    assert abs(len(k5000) / 5000 - 0.5) < 0.03
