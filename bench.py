@@ -162,6 +162,37 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
           lambda: poly_hex.select(ewkb_decode("hex").alias("g"))
           .select(F.size("g.xs").alias("n")).agg(F.sum("n")).collect())
     poly_hex.unpersist()
+
+    # heterogeneous-structure decode: two-ring polygons whose ring sizes
+    # vary per row (incl. length-colliding splits of the same total), so
+    # neither the point fast path nor the template group applies -- this
+    # prices the two-pass mixed-structure decode (round-4: offset-table scan
+    # + zero-copy coordinate views; was per-row Python before)
+    n1 = (F.col("event_id") % 13 + 4).cast("int")
+    n2 = (F.col("event_id") % 17 + 4).cast("int")
+    base_xs = F.array(*[x + F.lit(float(i % 5)) for i in range(21)])
+    base_ys = F.array(*[y + F.lit(float(i % 3)) for i in range(21)])
+
+    def ring(arr, cnt):
+        # cnt vertices + closing copy of the first
+        return F.concat(F.slice(arr, 1, cnt), F.array(F.element_at(arr, 1)))
+
+    mixed = F.struct(
+        F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
+        F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+        F.concat(ring(base_xs, n1), ring(base_xs, n2)).alias("xs"),
+        F.concat(ring(base_ys, n1), ring(base_ys, n2)).alias("ys"),
+        F.lit(None).cast("array<double>").alias("zs"),
+        F.lit(None).cast("array<double>").alias("ms"),
+        F.array(F.lit(0), n1 + 1, n1 + n2 + 2).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(2)).alias("part_offsets"),
+    )
+    mixed_hex = ev.select(ewkb_encode(mixed).alias("hex")).persist()
+    mixed_hex.count()
+    timed("ewkb_decode_mixed",
+          lambda: mixed_hex.select(ewkb_decode("hex").alias("g"))
+          .select(F.size("g.xs").alias("n")).agg(F.sum("n")).collect())
+    mixed_hex.unpersist()
     timed("knn_grid", lambda: entry_mod.q_knn_grid(spark, sf_dir).count())
     timed("textstats", lambda: with_textstats(docs).count())
     timed("minhash_dedup",

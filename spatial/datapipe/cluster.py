@@ -29,7 +29,7 @@ Components in Map-Reduce in Logarithmic Rounds").
   over localCheckpoint if executor loss during the loop must be survivable.
 
 Reference scope note: haskell-postgis is a geometry codec library
-(src/Data/Internal/Wkb/*.hs) with no dedup surface; this operator is part
+(src/Database/Postgis/*.hs) with no dedup surface; this operator is part
 of the training-data-pipeline mandate layered on top (SURVEY.md section 2.3).
 """
 

@@ -29,11 +29,24 @@ tests/GeoSpec.hs:17-20,37-44):
   10^12-row job must not die on one bad page (the reference ``error``s,
   Serialize.hs:164).
 
-Hot path note: structure varies per row, so the parser walks rows in Python,
-but all coordinate payloads move via ``np.frombuffer`` (one vectorized slice
-per ring block, no per-coordinate Python), and the all-2D-LE-point fast path
-(the overwhelmingly common shape in a geocoded web corpus) decodes the whole
-Arrow batch with two reshaped ``frombuffer`` calls and zero per-row work.
+Hot path note -- three tiers, in order of preference per Arrow batch:
+
+1. all-2D-LE-point fast path (the overwhelmingly common shape in a geocoded
+   web corpus): whole batch decoded with two reshaped ``frombuffer`` calls,
+   zero per-row work;
+2. template-grouped path: rows sharing an identical byte layout outside
+   their coordinate blocks decode with one uint8 matrix compare + one
+   strided view per block;
+3. mixed-structure two-pass path (structurally heterogeneous corpora --
+   scraped polygons with varying ring/vertex counts): pass 1 walks ONLY
+   headers/counts per row into an offset table, pass 2 moves every
+   coordinate byte of the batch in one vectorized gather per
+   (dims, endianness) class. Per-row Python cost is proportional to the
+   number of structure words, never the number of coordinates.
+
+A per-row scalar parser remains as the last-resort fallback for malformed
+bytes and exotic shapes; tests/test_fuzz_codecs.py pins batch == per-row
+decode equivalence.
 """
 
 from __future__ import annotations
@@ -444,6 +457,18 @@ def _decode_group(vals: list[str]):
         return None, None
     size = len(tbuf)
     n = len(vals)
+    # cheap negative filter before the whole-group fromhex: a 3-row sample
+    # must match the template on the hex chars before the first coordinate
+    # block (catches length-colliding heterogeneous groups -- e.g. two-ring
+    # polygons whose ring sizes split the same total differently -- for the
+    # price of three short string compares instead of a full matrix build;
+    # such groups decode via the mixed-structure path instead)
+    if cur.spans and n > 3:
+        pre = cur.spans[0][0] * 2
+        v0 = vals[0]
+        step = max(1, n // 3)
+        if any(vals[k][:pre] != v0[:pre] for k in range(1, n, step)):
+            return None, None
     try:
         mat = np.frombuffer(bytes.fromhex("".join(vals)),
                             dtype=np.uint8).reshape(n, size)
@@ -500,6 +525,203 @@ def _group_rows(base: dict, cols: dict, ok: np.ndarray) -> list:
     return rows
 
 
+# --------------------------------------------------------------------------
+# mixed-structure batch decode (two-pass: structure scan -> bulk gather)
+# --------------------------------------------------------------------------
+#
+# The template path above only wins when many rows share an identical byte
+# layout. A structurally heterogeneous corpus (scraped polygons with varying
+# ring/vertex counts -- the realistic shape) used to fall back to the per-row
+# parser, which materializes every coordinate through Python lists. The
+# two-pass path below keeps the per-row work proportional to the number of
+# STRUCTURE words (headers + counts, a handful of ints) and moves every
+# coordinate byte in a single vectorized gather per (dims, endianness) class:
+#
+#   pass 1  _scan: walk headers/counts only, emitting an offset table
+#           [(abs_offset, n_points, dims, endianness)] per row -- no
+#           coordinate bytes touched, no Python floats created;
+#   pass 2  one fancy-index gather over the concatenated batch buffer per
+#           (dims, fmt) class, one .view(f8) reshape, then O(1)-per-row
+#           np.split views into per-row coordinate arrays.
+#
+# Acceptance is byte-for-byte identical to _parse (same header reader, same
+# quirk handling); tests/test_fuzz_codecs.py pins batch == per-row decode.
+
+def _scan(c: _Cursor):
+    """Structure-only walk of one geometry: the _parse cascade with
+    coordinate reads replaced by span bookkeeping. Returns
+    (gtype, srid, has_z, has_m, ring_offsets, part_offsets, spans) where
+    spans = [(offset, n_points, dims, fmt), ...] in wire order. Raises on
+    anything _parse would raise on (malformed -> caller nulls the row)."""
+    end = len(c.buf)
+    fmt, gtype, has_z, has_m, srid = _read_header(c)
+    dims = 2 + int(has_z) + int(has_m)
+    spans: list = []
+    roffs = [0]
+    poffs = [0]
+    tot = 0
+
+    def take(n: int, d: int, f: str):
+        nonlocal tot
+        nb = n * d * 8
+        if c.off + nb > end:
+            raise ValueError("truncated coordinate block")
+        if n:
+            spans.append((c.off, n, d, f))
+        c.off += nb
+        tot += n
+        roffs.append(tot)
+
+    if gtype == POINT:
+        take(1, dims, fmt)
+        poffs.append(1)
+    elif gtype == LINESTRING:
+        take(_read_count(c, fmt), dims, fmt)
+        poffs.append(1)
+    elif gtype == POLYGON:
+        nr = _read_count(c, fmt)
+        for _ in range(nr):
+            take(_read_count(c, fmt), dims, fmt)
+        poffs.append(nr)
+    elif gtype == MULTIPOINT:
+        n = _read_count(c, fmt)
+        if end - c.off == n * dims * 8:
+            # reference quirk: bare positions (Serialize.hs:181-186) --
+            # ONE span, n single-point rings
+            if n:
+                spans.append((c.off, n, dims, fmt))
+            c.off += n * dims * 8
+            for i in range(1, n + 1):
+                roffs.append(i)
+                poffs.append(i)
+            tot = n
+        else:
+            for _ in range(n):
+                sub_fmt, _t, sz, sm, _ = _read_header(c)
+                take(1, 2 + int(sz) + int(sm), sub_fmt)
+                poffs.append(len(roffs) - 1)
+    elif gtype == MULTILINESTRING:
+        n = _read_count(c, fmt)
+        for _ in range(n):
+            sub_fmt, _t, sz, sm, _ = _read_header(c)
+            take(_read_count(c, sub_fmt), 2 + int(sz) + int(sm), sub_fmt)
+            poffs.append(len(roffs) - 1)
+    elif gtype == MULTIPOLYGON:
+        n = _read_count(c, fmt)
+        for _ in range(n):
+            sub_fmt, _t, sz, sm, _ = _read_header(c)
+            sub_dims = 2 + int(sz) + int(sm)
+            nr = _read_count(c, sub_fmt)
+            for _ in range(nr):
+                take(_read_count(c, sub_fmt), sub_dims, sub_fmt)
+            poffs.append(len(roffs) - 1)
+    else:
+        raise ValueError(f"unsupported WKB type code {gtype}")
+    return gtype, srid, has_z, has_m, roffs, poffs, spans
+
+
+def _decode_mixed_batch(vals: np.ndarray, idxs: list, out: list) -> None:
+    """Two-pass decode of the structurally heterogeneous remainder of a
+    batch. Fills out[i] with a GEOMETRY row dict for every row it can
+    decode; leaves out[i] = None (scalar-parser fallback) for rows with
+    malformed bytes or exotic shapes (mixed dims/endianness across one
+    row's coordinate blocks)."""
+    hexes, keep = [], []
+    for i in idxs:
+        v = vals[i]
+        if isinstance(v, str) and len(v) >= 18 and len(v) % 2 == 0:
+            hexes.append(v)
+            keep.append(i)
+    if not keep:
+        return
+    try:
+        big = bytes.fromhex("".join(hexes))
+        lens = [len(h) // 2 for h in hexes]
+    except ValueError:
+        # a corrupt row poisons the joined conversion: redo per-row, keep
+        # the convertible ones (rare path -- corrupt batches only)
+        bufs, keep2, lens = [], [], []
+        for i, h in zip(keep, hexes):
+            try:
+                b = bytes.fromhex(h)
+            except ValueError:
+                continue
+            bufs.append(b)
+            keep2.append(i)
+            lens.append(len(b))
+        keep = keep2
+        if not keep:
+            return
+        big = b"".join(bufs)
+
+    mv = memoryview(big)
+
+    # pass 1: structure scan (headers + counts only)
+    rows = []  # (i, base_row_dict, need, spans_abs)
+    pos = 0
+    for i, nb in zip(keep, lens):
+        try:
+            c = _Cursor(mv[pos : pos + nb])
+            gtype, srid, hz, hm, roffs, poffs, spans = _scan(c)
+        except Exception:
+            pos += nb
+            continue
+        base = {
+            "gtype": gtype, "srid": srid, "has_z": hz, "has_m": hm,
+            "xs": None, "ys": None, "zs": None, "ms": None,
+            "ring_offsets": roffs, "part_offsets": poffs,
+        }
+        rows.append((i, base, 2 + int(hz) + int(hm),
+                     [(pos + o, n, d, f) for o, n, d, f in spans]))
+        pos += nb
+
+    # pass 2: per-row zero-copy coordinate views. A single-span row (point,
+    # linestring, 1-ring polygon, bare multipoint) costs one frombuffer view
+    # + one strided slice per column -- no byte is copied until Arrow
+    # serializes the result. Multi-span rows copy their coordinate bytes
+    # exactly once into a row matrix (the output needs one array per row, so
+    # that concatenation is inherent). Rows mixing dims/endianness across
+    # blocks (legal but exotic: nested Multi* elements with differing
+    # headers) stay on the scalar parser.
+    empty64 = np.empty(0, dtype="<f8")
+    for i, base, need, spans in rows:
+        if not spans:
+            base["xs"] = empty64
+            base["ys"] = empty64
+            if base["has_z"]:
+                base["zs"] = empty64
+            if base["has_m"]:
+                base["ms"] = empty64
+            out[i] = base
+            continue
+        d0, f0 = spans[0][2], spans[0][3]
+        if any(d != d0 or f != f0 for _, _, d, f in spans) or d0 < need:
+            continue  # scalar fallback (d0 < need nulls there, as _parse does)
+        if len(spans) == 1:
+            o, npts, d, f = spans[0]
+            v = np.frombuffer(big, dtype=f + "f8", count=npts * d, offset=o)
+            if f == ">":
+                v = v.astype("<f8")
+            flat = v
+        else:
+            tot = base["ring_offsets"][-1]
+            mat = np.empty((tot, d0), dtype="<f8")
+            p = 0
+            for o, npts, d, f in spans:
+                mat[p : p + npts] = np.frombuffer(
+                    big, dtype=f + "f8", count=npts * d, offset=o
+                ).reshape(npts, d)
+                p += npts
+            flat = mat.reshape(-1)
+        base["xs"] = flat[0::d0]
+        base["ys"] = flat[1::d0]
+        if base["has_z"]:
+            base["zs"] = flat[2::d0]
+        if base["has_m"]:
+            base["ms"] = flat[2 + int(base["has_z"]) :: d0]
+        out[i] = base
+
+
 def _decode_series(s: pd.Series) -> pd.DataFrame:
     fast = _decode_series_fast_points(s)
     if fast is not None:
@@ -538,6 +760,9 @@ def _decode_series(s: pd.Series) -> pd.DataFrame:
         for i, row in zip(idxs, _group_rows(res[0], res[1], ok)):
             if row is not None:
                 out[i] = row
+    pending = [i for i in range(n) if out[i] is None]
+    if pending:
+        _decode_mixed_batch(vals, pending, out)
     for i, v in enumerate(vals):
         if out[i] is None:
             g = decode_hex(v) if isinstance(v, str) else None

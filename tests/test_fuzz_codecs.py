@@ -212,3 +212,113 @@ def test_collection_cross_codec_roundtrip(gs, srid):
         assert len(back_gj) == len(gs)
         for want, bg in zip(expect, back_gj):
             assert _geom_eq(want, bg)
+
+
+# -- mixed-structure batch decode == per-row decode --------------------------
+#
+# The two-pass vectorized batch path (_scan + _decode_mixed_batch,
+# spatial/ewkb.py) re-implements _parse's acceptance with coordinate reads
+# replaced by offset bookkeeping. These properties pin the two parsers
+# together: any batch -- heterogeneous shapes, both endiannesses, malformed
+# rows, length-colliding layouts -- must decode cell-for-cell identically to
+# the per-row scalar parser.
+
+def _series_eq_scalar(hexes):
+    import numpy as np
+    import pandas as pd
+
+    from spatial.ewkb import _decode_series
+    from spatial.geometry import GEOMETRY_FIELDS
+
+    df = _decode_series(pd.Series(hexes, dtype=object))
+
+    def isnull(v):
+        # None (object rows), NaN (pandas object-column holes), pd.NA
+        # (nullable Int32 from the fast-point path) all encode SQL null
+        return v is None or (not hasattr(v, "__len__") and pd.isna(v))
+
+    def arr_eq(a, b):
+        if b is None:
+            return a is None or isnull(a)
+        if a is None or isnull(a):
+            return False
+        a = list(a)
+        return len(a) == len(b) and all(
+            (x == y) or (math.isnan(x) and math.isnan(y))
+            for x, y in zip(a, b))
+
+    for i, h in enumerate(hexes):
+        g = decode_hex(h) if isinstance(h, str) else None
+        r = df.iloc[i]
+        if g is None:
+            assert isnull(r["gtype"]), f"row {i}: expected null, got {r!r}"
+            continue
+        assert int(r["gtype"]) == g.gtype, f"row {i} gtype"
+        assert (isnull(r["srid"]) if g.srid is None
+                else int(r["srid"]) == g.srid), f"row {i} srid"
+        assert bool(r["has_z"]) == g.has_z and bool(r["has_m"]) == g.has_m, \
+            f"row {i} dims"
+        assert arr_eq(r["xs"], g.xs) and arr_eq(r["ys"], g.ys), f"row {i} xy"
+        assert arr_eq(r["zs"], g.zs) and arr_eq(r["ms"], g.ms), f"row {i} zm"
+        assert list(r["ring_offsets"]) == list(g.ring_offsets), f"row {i} ro"
+        assert list(r["part_offsets"]) == list(g.part_offsets), f"row {i} po"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(geoms(), min_size=1, max_size=12),
+       st.lists(st.sampled_from(
+           [None, "zz", "01", "0199000000deadbeef", ""]), max_size=3),
+       st.booleans())
+def test_mixed_batch_decode_equals_scalar(gs, junk, big_endian):
+    hexes = [encode_hex(g, endian="big" if (big_endian and i % 2 == 0)
+                        else "little") for i, g in enumerate(gs)]
+    hexes.extend(junk)
+    _series_eq_scalar(hexes)
+
+
+def test_mixed_batch_length_colliding_layouts():
+    """Two-ring polygons whose ring sizes split the same total differently
+    collide on (length, header prefix) -- the template group fails and the
+    mixed path must take over, per-row identical to the scalar parser."""
+    import numpy as np
+
+    from spatial.geometry import polygon
+
+    rng = np.random.default_rng(11)
+    hexes = []
+    for i in range(200):
+        total = 24
+        no = 5 + (i * 7) % 13
+        nh = total - no
+        outer = np.column_stack(
+            [rng.normal(size=no), rng.normal(size=no)]).tolist()
+        outer.append(outer[0])
+        hole = np.column_stack(
+            [rng.normal(size=nh), rng.normal(size=nh)]).tolist()
+        hole.append(hole[0])
+        hexes.append(encode_hex(polygon([outer, hole], srid=4326)))
+    _series_eq_scalar(hexes)
+
+
+def test_mixed_batch_exotic_shapes_fall_back():
+    """Rows the mixed path punts on (nested elements with differing dims,
+    the reference's bare-MultiPoint quirk, empty geometries) still decode
+    correctly via scalar fallback inside the same batch."""
+    from spatial.ewkb import encode_geom
+    from spatial.geometry import Geom, linestring, multipoint, point
+
+    # nested Multi* with mixed dims: hand-build MULTILINESTRING whose two
+    # lines disagree on Z (encoder can't produce this; splice bytes)
+    l2d = encode_geom(linestring([(0.0, 1.0), (2.0, 3.0)]))
+    l3d = encode_geom(linestring([(0.0, 1.0, 9.0), (2.0, 3.0, 9.5)],
+                                 has_z=True))
+    import struct
+    mls = b"\x01" + struct.pack("<I", 5) + struct.pack("<I", 2) + l2d + l3d
+    mixed_dims_hex = mls.hex()
+
+    from spatial.ewkb import encode_hex as eh
+    quirk = eh(multipoint([(1.0, 2.0), (3.0, 4.0)], srid=4326),
+               compat="reference")
+    empty = eh(linestring([]))
+    normal = eh(point(7.0, 8.0, srid=3857))
+    _series_eq_scalar([mixed_dims_hex, quirk, empty, normal] * 3)
