@@ -2333,6 +2333,132 @@ def q_weighted_sample(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_spatial_join_regions(spark, sf_dir):
+    """POLYGON x POLYGON spatial join (overlay.polygon_join -- round-3
+    verdict gap #1 closed): two 20-region fixture sets (seeds 42 / 202,
+    random radii around the same gazetteer cities, ~10% with holes) joined
+    on exact proper-ST_Intersects. Plan: geometry-free cover-cell
+    candidates both sides, broadcast right, bbox prefilter, canonical-
+    corner dedup (no distinct shuffle), vertex-containment + edge-crossing
+    refine. Oracle: the direct quantifier-free cross-join spec -- even-odd
+    ray cast per (vertex, polygon) both ways plus the strict orientation
+    edge test, bit-identical expression order (overlay module docstring)."""
+    from spatial.overlay import polygon_join
+    from spatial.synth import synth_regions
+
+    A = synth_regions(spark).select(F.col("region_id").alias("region_a"),
+                                    ewkb_decode("geom_hex").alias("geom"))
+    B = synth_regions(spark, seed=202).select(
+        F.col("region_id").alias("region_b"),
+        ewkb_decode("geom_hex").alias("geom"))
+    return polygon_join(A, B, left_id="region_a", right_id="region_b")
+
+
+def _clip_fixture():
+    """Shared fixture for q_intersection_area: (region_id, shell ring,
+    CCW hexagon clipper ring) -- the SAME Python floats feed the Spark
+    fixture DataFrame and the oracle VALUES, so the only cross-engine
+    arithmetic is the clip itself (mul/sub/div, replayed exactly)."""
+    from spatial.synth import CITIES, region_rings
+
+    out = []
+    for rid, _city, rings in region_rings(seed=77, with_holes=False):
+        cx, cy = CITIES[rid][3], CITIES[rid][4]
+        ang = [k * np.pi / 3.0 for k in range(6)]
+        clip = [(float(cx + 1.5 * np.cos(a)), float(cy + 1.5 * np.sin(a)))
+                for a in ang]
+        clip.append(clip[0])
+        out.append((rid, rings[0], clip))
+    return out
+
+
+def q_intersection_area(spark, sf_dir):
+    """Exact ST_Intersection AREA for convex clippers (overlay.
+    convex_clip_ring -- round-3 verdict gap #2, reduced scope): each
+    fixture region's shell clipped by a CCW hexagon around its city
+    center via generalized Sutherland-Hodgman, then the shoelace area,
+    rounded to 6 decimals (the one order-sensitive sum; every produced
+    vertex is bit-exact, see overlay docstring). Oracle: the clip unrolled
+    as one CTE stage per hexagon edge with identical emit order, then the
+    same shoelace + rounding."""
+    from spatial.ewkb import ewkb_decode as dec
+    from spatial.ewkb import encode_hex
+    from spatial.geometry import polygon
+    from spatial.overlay import make_clip_area
+
+    rows = [(rid, encode_hex(polygon([shell], srid=4326)),
+             encode_hex(polygon([clip], srid=4326)))
+            for rid, shell, clip in _clip_fixture()]
+    df = spark.createDataFrame(
+        rows, "region_id long, subj_hex string, clip_hex string")
+    clip_area = make_clip_area()
+    return df.select(
+        "region_id",
+        clip_area(dec("subj_hex"), dec("clip_hex")).alias("clip_area"))
+
+
+_STREAM_LATE_BASE_S = 1767225600  # 2026-01-01 00:00:00 UTC
+
+
+def q_stream_late(spark, sf_dir):
+    """LATE-DATA watermark EVICTION under the oracle gate (the one
+    streaming sub-item whose prior oracles replayed no-late-data inputs):
+    three parquet files arrive as separate micro-batches (mtime-ordered
+    file source, maxFilesPerTrigger=1, availableNow):
+
+      A: windows h0..h9 at :15 + one h10:30 row (drives the watermark);
+      B: out-of-order rows h0..h11 at :45 -- these land WHILE h0..h8 state
+         is still live (the late-record filter lags eviction by one batch),
+         so they merge, and h0..h8 finalize at the end of this batch with
+         wm = 10:30 - 1h = 9:30;
+      C: 50 straggler rows for h0..h4 at :50 -- their windows are already
+         finalized and evicted, so the watermark DROPS every one (observed
+         numRowsDroppedByWatermark > 0; append mode could not re-emit).
+
+    Final watermark = 11:45 - 1h = 10:45 emits h9; h10/h11 stay in state.
+    Deterministic: fixture rows are closed-form in i, batch order is pinned
+    by mtimes + lexicographic names. Oracle: batch replay of the semantics
+    -- counts over A UNION B for windows h0..h9, C excluded entirely."""
+    import tempfile
+    import time
+    import uuid
+
+    import pandas as pd
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from spatial.streaming import run_available_now
+
+    B = _STREAM_LATE_BASE_S
+    d = tempfile.mkdtemp(prefix="q_stream_late_src_")
+    a_rows = [{"uid": i, "ts_s": B + (i % 10) * 3600 + 900}
+              for i in range(200)]
+    a_rows.append({"uid": 999, "ts_s": B + 10 * 3600 + 1800})
+    b_rows = [{"uid": 1000 + i, "ts_s": B + (i % 12) * 3600 + 2700}
+              for i in range(100)]
+    c_rows = [{"uid": 2000 + i, "ts_s": B + (i % 5) * 3600 + 3000}
+              for i in range(50)]
+    now = time.time()
+    for fn, rows, age in [("a_0.parquet", a_rows, 200),
+                          ("b_1.parquet", b_rows, 100),
+                          ("c_2.parquet", c_rows, 0)]:
+        p = os.path.join(d, fn)
+        pd.DataFrame(rows).to_parquet(p)
+        os.utime(p, (now - age, now - age))
+
+    stream = (spark.readStream.schema("uid long, ts_s long")
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    agg = (stream.withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n_events"))
+           .select(F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+                   "n_events"))
+    name = "q_stream_late_" + uuid.uuid4().hex[:10]
+    run_available_now(agg, tempfile.mkdtemp(prefix="q_stream_late_ckpt_"),
+                      name, output_mode="append")
+    return spark.table(name)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived points -> EWKB codec round-trip ->
     Web-Mercator tiles -> rollup (SURVEY.md §7 M1 minimum slice)."""
@@ -2354,21 +2480,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registration order IS the driver's correctness-file order, and the
-    # driver records ~the first 50 entries (VERDICT r2 wrong #1). Entries
-    # 1-21: the flagship operators incl. the round-3 additions (dedup
-    # cluster resolution, as-of join, shard packing, TF-IDF, stratified
-    # sampling). 22-50: one representative per distinct operator/kernel/
-    # category (incl. the round-1 fail q_st_transform). 51+ (overflow,
-    # judge-verifiable and ALL recorded green in CORRECTNESS_r02.json under
-    # the round-2 ordering): entries whose kernels keep an in-window
-    # representative (streaming -> q_stream_stateful, IVF -> q_ann_ivf,
-    # measures -> q_st_area) or redundant single-builtin exercises.
+    # Registration order IS the driver's correctness-file order; the driver
+    # records ~the first 50 entries. Round-4 rotation (VERDICT r3 task #1):
+    # entries 1-12 are the pinned flagship sentinels (every strategy/family
+    # with a scale-critical code path stays driver-proven each round),
+    # 13-15 the round-4 additions (polygon overlay join, convex clip area,
+    # late-data watermark eviction), 16-50 the 35 queries that had never
+    # appeared in any CORRECTNESS_r{1,2,3}.json -- with this window every
+    # one of the 122 queries has a driver-recorded green row in some round
+    # (cumulative driver-proven = 122/122). 51+ were all recorded green in
+    # r1-r3 under earlier orderings and remain pytest-oracle-verified by
+    # tests/test_entry_contract.py's full 122-query replay.
     return {
         "q_spatial_join_pages": q_spatial_join_pages,
         "q_spatial_join_salted": q_spatial_join_salted,
-        "q_spatial_join_shuffle": q_spatial_join_shuffle,
-        "q_spatial_join_left": q_spatial_join_left,
         "q_knn_grid": q_knn_grid,
         "q_knn_distributed": q_knn_distributed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -2379,6 +2504,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_multimodal_features": q_multimodal_features,
         "q_geom_collection": q_geom_collection,
+        "q_spatial_join_regions": q_spatial_join_regions,
+        "q_intersection_area": q_intersection_area,
+        "q_stream_late": q_stream_late,
+        "q_bbox_iou": q_bbox_iou,
+        "q_geom_edit": q_geom_edit,
+        "q_repetition_signals": q_repetition_signals,
+        "q_stream_join": q_stream_join,
+        "q_stream_dedup": q_stream_dedup,
+        "q_zorder_layout": q_zorder_layout,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_tile_pyramid": q_tile_pyramid,
+        "q_url_canonical": q_url_canonical,
+        "q_histogram_quantiles": q_histogram_quantiles,
+        "q_cap_per_key": q_cap_per_key,
+        "q_cube_revenue": q_cube_revenue,
+        "q_st_extent": q_st_extent,
+        "q_quantile_filter": q_quantile_filter,
+        "q_time_gapfill": q_time_gapfill,
+        "q_inverted_index": q_inverted_index,
+        "q_pmi_bigrams": q_pmi_bigrams,
+        "q_bucketed_join": q_bucketed_join,
+        "q_funnel": q_funnel,
+        "q_cumulative_users": q_cumulative_users,
+        "q_ntile_revenue": q_ntile_revenue,
+        "q_snap_grid": q_snap_grid,
+        "q_triangles": q_triangles,
+        "q_similarity_join": q_similarity_join,
+        "q_ewma": q_ewma,
+        "q_line_interpolate": q_line_interpolate,
+        "q_hll_cumulative": q_hll_cumulative,
+        "q17_small_qty": q17_small_qty,
+        "q_rank_functions": q_rank_functions,
+        "q_skyline": q_skyline,
+        "q_image_ahash": q_image_ahash,
+        "q_stream_sessions": q_stream_sessions,
+        "q_grouped_quantiles": q_grouped_quantiles,
+        "q_grouping_sets": q_grouping_sets,
+        "q_weighted_sample": q_weighted_sample,
+        "q_spatial_join_shuffle": q_spatial_join_shuffle,
+        "q_spatial_join_left": q_spatial_join_left,
         "q_sqlapi_funcs": q_sqlapi_funcs,
         "q_stream_stateful": q_stream_stateful,
         "q_dedup_clusters": q_dedup_clusters,
@@ -2449,41 +2614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_planar": q_knn_planar,
         "q_semi_join_orders": q_semi_join_orders,
         "q_grid_cell_agg": q_grid_cell_agg,
-        "q_bbox_iou": q_bbox_iou,
-        "q_geom_edit": q_geom_edit,
-        "q_repetition_signals": q_repetition_signals,
-        "q_stream_join": q_stream_join,
-        "q_stream_dedup": q_stream_dedup,
-        "q_zorder_layout": q_zorder_layout,
-        "q_incremental_dedup": q_incremental_dedup,
-        "q_tile_pyramid": q_tile_pyramid,
-        "q_url_canonical": q_url_canonical,
-        "q_histogram_quantiles": q_histogram_quantiles,
-        "q_cap_per_key": q_cap_per_key,
-        "q_cube_revenue": q_cube_revenue,
-        "q_st_extent": q_st_extent,
-        "q_quantile_filter": q_quantile_filter,
-        "q_time_gapfill": q_time_gapfill,
-        "q_inverted_index": q_inverted_index,
-        "q_pmi_bigrams": q_pmi_bigrams,
-        "q_bucketed_join": q_bucketed_join,
-        "q_funnel": q_funnel,
-        "q_cumulative_users": q_cumulative_users,
-        "q_ntile_revenue": q_ntile_revenue,
-        "q_snap_grid": q_snap_grid,
-        "q_triangles": q_triangles,
-        "q_similarity_join": q_similarity_join,
-        "q_ewma": q_ewma,
-        "q_line_interpolate": q_line_interpolate,
-        "q_hll_cumulative": q_hll_cumulative,
-        "q17_small_qty": q17_small_qty,
-        "q_rank_functions": q_rank_functions,
-        "q_skyline": q_skyline,
-        "q_image_ahash": q_image_ahash,
-        "q_stream_sessions": q_stream_sessions,
-        "q_grouped_quantiles": q_grouped_quantiles,
-        "q_grouping_sets": q_grouping_sets,
-        "q_weighted_sample": q_weighted_sample,
     }
 
 
@@ -3037,6 +3167,47 @@ def _zorder_oracle() -> str:
         SELECT zkey >> 16 AS z_prefix, COUNT(*) AS n_points,
                MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey
         FROM zk GROUP BY z_prefix"""
+
+
+def _spatial_join_regions_oracle() -> str:
+    from spatial.overlay import _poly_values_sql, polygon_join_oracle_sql
+    from spatial.synth import region_rings, sql_double
+
+    lv = _poly_values_sql(
+        [(rid, rings) for rid, _c, rings in region_rings()], sql_double)
+    rv = _poly_values_sql(
+        [(rid, rings) for rid, _c, rings in region_rings(seed=202)],
+        sql_double)
+    return polygon_join_oracle_sql(lv, rv, "region_a", "region_b")
+
+
+def _intersection_area_oracle() -> str:
+    from spatial.overlay import clip_area_oracle_sql
+    from spatial.synth import sql_double
+
+    vals = []
+    for rid, shell, clip in _clip_fixture():
+        vs = ", ".join(f"{{'x': {sql_double(x)}, 'y': {sql_double(y)}}}"
+                       for x, y in shell[:-1])
+        ce = ", ".join(
+            f"{{'ax': {sql_double(x1)}, 'ay': {sql_double(y1)}, "
+            f"'bx': {sql_double(x2)}, 'by': {sql_double(y2)}}}"
+            for (x1, y1), (x2, y2) in zip(clip[:-1], clip[1:]))
+        vals.append(f"({rid}, [{vs}], [{ce}])")
+    return clip_area_oracle_sql(",\n".join(vals), 6,
+                                id_col="region_id", area_col="clip_area")
+
+
+# batch replay of q_stream_late's watermark semantics (derivation in the
+# query docstring): A UNION B survive, C is dropped, windows h0..h9 emit
+_STREAM_LATE_ORACLE = f"""
+WITH __a AS (SELECT (range % 10) AS h FROM range(200)
+             UNION ALL SELECT 10 AS h),
+__b AS (SELECT (range % 12) AS h FROM range(100)),
+__m AS (SELECT h FROM __a UNION ALL SELECT h FROM __b)
+SELECT CAST({_STREAM_LATE_BASE_S} + h * 3600 AS BIGINT) AS window_start_s,
+       COUNT(*) AS n_events
+FROM __m WHERE h <= 9 GROUP BY h"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3771,4 +3942,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
         "q_weighted_sample": _weighted_sample_oracle(),
+        "q_spatial_join_regions": _spatial_join_regions_oracle(),
+        "q_intersection_area": _intersection_area_oracle(),
+        "q_stream_late": _STREAM_LATE_ORACLE,
     }

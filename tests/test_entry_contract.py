@@ -76,10 +76,33 @@ def test_flagship_queries_inside_correctness_window():
         "q_knn_distributed", "q_minhash_pairs", "q_simhash_pairs",
         "q_embedding_dups", "q_ann_ivf", "q_geocode_rollup",
         "q_s2_cell_rollup", "q_multimodal_features", "q_geom_collection",
+        # round-4 additions: never driver-recorded before, must be in the
+        # round-4 window
+        "q_spatial_join_regions", "q_intersection_area", "q_stream_late",
     ]
     order = list(entry_mod.queries())
     for name in flagship:
         assert order.index(name) < 50, f"{name} registered at {order.index(name)}"
+
+
+def test_round4_window_covers_never_recorded_queries():
+    """Round-4 rotation (VERDICT r3 task #1): the first 50 registry entries
+    must include every query that had never appeared in any
+    CORRECTNESS_r{1,2,3}.json, so cumulative driver-proven coverage reaches
+    122/122. The historical recorded sets are pinned from the committed
+    correctness files."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    recorded: set = set()
+    for f in ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
+              "CORRECTNESS_r03.json"]:
+        recorded |= set(json.loads((root / f).read_text()))
+    order = list(entry_mod.queries())
+    window = set(order[:50])
+    missing = [q for q in order if q not in recorded and q not in window]
+    assert not missing, f"never-driver-recorded queries outside window: {missing}"
 
 
 def test_documented_counts_match_registry():

@@ -1,0 +1,193 @@
+"""Polygon x polygon overlay join + convex clip (spatial/overlay.py).
+
+Ground truth for the pair predicate comes from hand-constructed
+configurations with known answers (incl. the hole case an even-odd cast
+must get right); the join plan is tested for broadcast/shuffle parity and
+for exactly-once pair emission (the canonical-corner dedup claim). The
+convex clip is pinned against closed-form rectangle/hexagon intersections
+and against kernels.clip_ring_bbox on rectangle clippers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatial.overlay import (
+    _poly_arrays,
+    convex_clip_ring,
+    polygon_join,
+    polygons_properly_intersect,
+    shoelace_area_abs,
+)
+
+
+def _P(rings):
+    xs, ys, ro = [], [], [0]
+    for r in rings:
+        for x, y in r:
+            xs.append(float(x))
+            ys.append(float(y))
+        ro.append(len(xs))
+    return _poly_arrays(xs, ys, ro)
+
+
+def _sq(x0, y0, s):
+    return [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]
+
+
+A = _P([_sq(0, 0, 4)])
+
+
+@pytest.mark.parametrize("name,a,b,want", [
+    ("disjoint", A, _P([_sq(10, 10, 2)]), False),
+    ("corner overlap", A, _P([_sq(3, 3, 4)]), True),
+    ("nested", A, _P([_sq(1, 1, 1)]), True),
+    ("nested reversed", _P([_sq(1, 1, 1)]), A, True),
+    # no vertex of either inside the other; edges must catch it
+    ("plus-cross", _P([[(-1, 1), (5, 1), (5, 2), (-1, 2), (-1, 1)]]),
+     _P([[(1, -1), (2, -1), (2, 5), (1, 5), (1, -1)]]), True),
+    # B entirely inside A's hole: even-odd parity must say NO
+    ("in-hole", _P([_sq(0, 0, 6), _sq(2, 2, 2)]),
+     _P([_sq(2.5, 2.5, 1)]), False),
+    # B straddles the hole boundary: YES
+    ("hole-straddle", _P([_sq(0, 0, 6), _sq(2, 2, 2)]),
+     _P([_sq(1.5, 1.5, 1)]), True),
+])
+def test_pair_predicate_ground_truth(name, a, b, want):
+    assert polygons_properly_intersect(a, b) == want, name
+
+
+def test_pair_predicate_boundary_tiebreak_documented():
+    """Boundary-only contact (module docstring): for touching axis-aligned
+    boxes some vertex always lands on the other polygon's counted
+    bottom/left boundary, so all four simple touches read as intersecting
+    (the closed-set ST_Intersects answer). Pinned so the deterministic
+    tie-break semantics can't drift silently."""
+    for b in [_P([_sq(4, 0, 2)]), _P([_sq(-2, 0, 2)]),
+              _P([_sq(0, 4, 2)]), _P([_sq(0, -2, 2)])]:
+        assert polygons_properly_intersect(A, b) is True
+
+
+def _fixture_frames(spark):
+    from spatial.ewkb import ewkb_decode
+    from spatial.synth import synth_regions
+
+    A_ = synth_regions(spark).select(
+        F.col("region_id").alias("region_a"),
+        ewkb_decode("geom_hex").alias("geom"))
+    B_ = synth_regions(spark, seed=202).select(
+        F.col("region_id").alias("region_b"),
+        ewkb_decode("geom_hex").alias("geom"))
+    return A_, B_
+
+
+def test_polygon_join_broadcast_equals_shuffle(spark):
+    """Forcing the non-broadcast path (threshold 0) must give the identical
+    pair set -- the physical strategy is correctness-neutral."""
+    A_, B_ = _fixture_frames(spark)
+    bc = sorted(tuple(r) for r in polygon_join(
+        A_, B_, "region_a", "region_b").collect())
+    sh = sorted(tuple(r) for r in polygon_join(
+        A_, B_, "region_a", "region_b", broadcast_threshold=0).collect())
+    assert bc == sh and len(bc) > 0
+
+
+def test_polygon_join_emits_each_pair_once(spark):
+    """Canonical-corner dedup: every surviving pair exactly once even when
+    bboxes share many cover cells (forced by a fine level)."""
+    A_, B_ = _fixture_frames(spark)
+    rows = [tuple(r) for r in polygon_join(
+        A_, B_, "region_a", "region_b", level=8).collect()]
+    assert len(rows) == len(set(rows))
+    # same pair set as the auto-picked level
+    auto = sorted(tuple(r) for r in polygon_join(
+        A_, B_, "region_a", "region_b").collect())
+    assert sorted(rows) == auto
+
+
+def test_polygon_join_matches_bruteforce_kernel(spark):
+    """The distributed plan must equal the driver-side all-pairs kernel
+    (candidate pruning is a guaranteed superset; refine decides)."""
+    from spatial.synth import region_rings
+
+    A_, B_ = _fixture_frames(spark)
+    got = sorted(tuple(r) for r in polygon_join(
+        A_, B_, "region_a", "region_b").collect())
+    pa = {rid: _P(rings) for rid, _c, rings in region_rings()}
+    pb = {rid: _P(rings) for rid, _c, rings in region_rings(seed=202)}
+    want = sorted((i, j) for i in pa for j in pb
+                  if polygons_properly_intersect(pa[i], pb[j]))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# convex clip
+# ---------------------------------------------------------------------------
+
+def test_convex_clip_matches_rect_clip_kernel():
+    """On a rectangle clipper the generalized Sutherland-Hodgman must agree
+    with kernels.clip_ring_bbox (same algorithm, specialized) on the
+    clipped area for random rings."""
+    from spatial.kernels import clip_ring_bbox
+
+    rng = np.random.default_rng(5)
+    rect = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    for _ in range(50):
+        n = int(rng.integers(5, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.5, 5.0, n)
+        xs = (2.0 + r * np.cos(ang)).tolist() + [2.0 + r[0] * np.cos(ang[0])]
+        ys = (2.0 + r * np.sin(ang)).tolist() + [2.0 + r[0] * np.sin(ang[0])]
+        verts = convex_clip_ring(xs, ys, [p[0] for p in rect],
+                                 [p[1] for p in rect])
+        cx, cy = clip_ring_bbox(xs, ys, 0.0, 0.0, 4.0, 4.0)
+        want = shoelace_area_abs(list(zip(cx[:-1], cy[:-1])))
+        got = shoelace_area_abs(verts)
+        assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_convex_clip_known_areas():
+    # unit square clipped by itself -> area 1
+    sq = _sq(0, 0, 1)
+    v = convex_clip_ring([p[0] for p in sq], [p[1] for p in sq],
+                         [p[0] for p in sq], [p[1] for p in sq])
+    assert shoelace_area_abs(v) == pytest.approx(1.0)
+    # half-overlapping squares -> 0.5
+    sq2 = _sq(0.5, 0, 1)
+    v = convex_clip_ring([p[0] for p in sq], [p[1] for p in sq],
+                         [p[0] for p in sq2], [p[1] for p in sq2])
+    assert shoelace_area_abs(v) == pytest.approx(0.5)
+    # disjoint -> 0
+    sq3 = _sq(5, 5, 1)
+    v = convex_clip_ring([p[0] for p in sq], [p[1] for p in sq],
+                         [p[0] for p in sq3], [p[1] for p in sq3])
+    assert shoelace_area_abs(v) == 0.0
+    # subject fully inside clipper -> subject area
+    big = _sq(-10, -10, 20)
+    v = convex_clip_ring([p[0] for p in sq], [p[1] for p in sq],
+                         [p[0] for p in big], [p[1] for p in big])
+    assert shoelace_area_abs(v) == pytest.approx(1.0)
+
+
+def test_clip_area_commutes_for_convex_pairs():
+    """For two convex rings, clip(A by B) and clip(B by A) describe the
+    same region -- areas must agree to float tolerance."""
+    rng = np.random.default_rng(9)
+    for _ in range(25):
+        def hexring(cx, cy, r):
+            ang = np.arange(6) * np.pi / 3.0
+            pts = [(float(cx + r * np.cos(a)), float(cy + r * np.sin(a)))
+                   for a in ang]
+            return pts + [pts[0]]
+        h1 = hexring(0, 0, rng.uniform(0.5, 2.0))
+        h2 = hexring(rng.uniform(-1, 1), rng.uniform(-1, 1),
+                     rng.uniform(0.5, 2.0))
+        a1 = shoelace_area_abs(convex_clip_ring(
+            [p[0] for p in h1], [p[1] for p in h1],
+            [p[0] for p in h2], [p[1] for p in h2]))
+        a2 = shoelace_area_abs(convex_clip_ring(
+            [p[0] for p in h2], [p[1] for p in h2],
+            [p[0] for p in h1], [p[1] for p in h1]))
+        assert a1 == pytest.approx(a2, rel=1e-9, abs=1e-12)
