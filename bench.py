@@ -194,6 +194,37 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
           .select(F.size("g.xs").alias("n")).agg(F.sum("n")).collect())
     mixed_hex.unpersist()
     timed("knn_grid", lambda: entry_mod.q_knn_grid(spark, sf_dir).count())
+
+    # polygon x polygon overlay join at corpus scale (round 4): one hexagon
+    # per event point vs one pentagon per shifted event point -- both sides
+    # constructed pure-JVM (vertex offsets are plan constants), then the
+    # cover-cells/corner-dedup/refine plan from spatial/overlay.py
+    import math as _math
+
+    from spatial.overlay import polygon_join
+
+    def poly_around(cx, cy, n_verts, radius, rot):
+        angs = [rot + 2.0 * _math.pi * k / n_verts for k in range(n_verts)]
+        xs = F.array(*[cx + radius * _math.cos(a) for a in angs],
+                     cx + radius * _math.cos(angs[0]))
+        ys = F.array(*[cy + radius * _math.sin(a) for a in angs],
+                     cy + radius * _math.sin(angs[0]))
+        return F.struct(
+            F.lit(3).alias("gtype"), F.lit(4326).alias("srid"),
+            F.lit(False).alias("has_z"), F.lit(False).alias("has_m"),
+            xs.alias("xs"), ys.alias("ys"),
+            F.lit(None).cast("array<double>").alias("zs"),
+            F.lit(None).cast("array<double>").alias("ms"),
+            F.array(F.lit(0), F.lit(n_verts + 1)).alias("ring_offsets"),
+            F.array(F.lit(0), F.lit(1)).alias("part_offsets"))
+
+    ovl_a = ev.select(F.col("event_id").alias("left_id"),
+                      poly_around(x, y, 6, 0.25, 0.0).alias("geom"))
+    ovl_b = ev.select((F.col("event_id") + 1_000_000_000).alias("right_id"),
+                      poly_around(x + F.lit(0.2), y, 5, 0.3, 0.3)
+                      .alias("geom"))
+    timed("polygon_overlay",
+          lambda: polygon_join(ovl_a, ovl_b, "left_id", "right_id").count())
     timed("textstats", lambda: with_textstats(docs).count())
     timed("minhash_dedup",
           lambda: minhash_dedup_pairs(

@@ -322,6 +322,116 @@ def cover_bbox(minx: float, miny: float, maxx: float, maxy: float,
     return np.unique(np.concatenate([base] + list(padded)))
 
 
+def _disk1_columns(cells: np.ndarray, level: int) -> list:
+    """The 3x3 ij-neighborhood of each cell as 9 flat uint64 arrays (no
+    per-row dedup -- callers union + unique in bulk). Same out-of-face
+    resolution as neighbors_disk, restricted to one uniform level."""
+    n = 1 << level
+    face = cell_face(cells)
+    i, j = cell_ij(cells, level)
+    cols = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ii, jj = i + di, j + dj
+            inb = (ii >= 0) & (ii < n) & (jj >= 0) & (jj < n)
+            res = np.empty(len(cells), dtype=np.uint64)
+            if inb.any():
+                res[inb] = cell_from_face_ij(face[inb], ii[inb], jj[inb],
+                                             level)
+            if (~inb).any():
+                u, v = uv_center_from_ij(ii[~inb], jj[~inb], level)
+                x, y, z = xyz_from_face_uv(face[~inb], u, v)
+                res[~inb] = cell_from_xyz(x, y, z, level)
+            cols.append(res)
+    return cols
+
+
+def cover_bbox_batch(minx, miny, maxx, maxy, level: int,
+                     max_samples_per_row: int = 4096) -> list:
+    """Vectorized cover_bbox over ROW ARRAYS: one flat cell_from_lonlat call
+    for every sample of every row, one flat 1-disk pad, one global
+    lexsort-unique -- zero per-row Python for the common case. Per-row
+    guarantee is cover_bbox's (sampling step < half cell size + one-ring
+    pad => every cell whose interior intersects the box is present).
+
+    Rows that are antimeridian-crossing, non-finite, or would need more
+    than max_samples_per_row samples fall back to the scalar cover_bbox
+    (None/NaN rows yield None). Returns a list of uint64 arrays / None.
+
+    Motivation (round 4): the per-row cover UDF cost ~1.8 ms/row, which
+    dominated the polygon x polygon overlay join -- the polygon side's
+    analog of the probe side's pure-JVM with_cell."""
+    mnx = np.asarray(minx, dtype=np.float64)
+    mny = np.asarray(miny, dtype=np.float64)
+    mxx = np.asarray(maxx, dtype=np.float64)
+    mxy = np.asarray(maxy, dtype=np.float64)
+    n_rows = len(mnx)
+    out: list = [None] * n_rows
+    finite = (np.isfinite(mnx) & np.isfinite(mny)
+              & np.isfinite(mxx) & np.isfinite(mxy))
+    ok = finite & (mnx <= mxx)
+
+    step = 0.45 * cell_size_degrees(level)
+    lo_y = np.clip(mny, -90.0, 90.0)
+    hi_y = np.clip(mxy, -90.0, 90.0)
+    with np.errstate(invalid="ignore"):
+        nx = np.maximum(2, np.where(finite, np.ceil((mxx - mnx) / step),
+                                    2).astype(np.int64) + 1)
+        ny = np.maximum(2, np.where(finite, np.ceil((hi_y - lo_y) / step),
+                                    2).astype(np.int64) + 1)
+    vec = ok & (nx * ny <= max_samples_per_row)
+
+    # scalar fallbacks: antimeridian boxes and oversized sample grids
+    for r in np.where(finite & ~vec)[0]:
+        out[r] = cover_bbox(float(mnx[r]), float(mny[r]), float(mxx[r]),
+                            float(mxy[r]), level)
+
+    idxs = np.where(vec)[0]
+    if len(idxs) == 0:
+        return out
+    counts = (nx * ny)[idxs]
+    total = int(counts.sum())
+    row_of = np.repeat(np.arange(len(idxs)), counts)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    s = np.arange(total) - np.repeat(offsets, counts)
+    r = idxs[row_of]
+    tx = s % nx[r]
+    ty = s // nx[r]
+    # linspace semantics: t * ((stop-start)/div) + start, endpoint forced
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dx = (mxx[r] - mnx[r]) / (nx[r] - 1)
+        dy = (hi_y[r] - lo_y[r]) / (ny[r] - 1)
+    lon = np.where(tx == nx[r] - 1, mxx[r], tx * dx + mnx[r])
+    lat = np.where(ty == ny[r] - 1, hi_y[r], ty * dy + lo_y[r])
+    base = cell_from_lonlat(lon, lat, level)
+
+    # dedupe (row, base cell) BEFORE the 9x pad: adjacent samples share
+    # cells (sampling step is < half a cell), so this cuts the padded
+    # volume ~4x before the expensive ij->morton re-encodes
+    border = np.lexsort((base, r))
+    rb, cb = r[border], base[border]
+    first = np.empty(len(rb), dtype=bool)
+    first[0] = True
+    first[1:] = (rb[1:] != rb[:-1]) | (cb[1:] != cb[:-1])
+    r, base = rb[first], cb[first]
+
+    all_cells = np.concatenate(_disk1_columns(base, level) + [base])
+    all_rows = np.tile(r, 10)
+    order = np.lexsort((all_cells, all_rows))
+    sr = all_rows[order]
+    sc = all_cells[order]
+    keep = np.empty(len(sr), dtype=bool)
+    keep[0] = True
+    keep[1:] = (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1])
+    kr = sr[keep]
+    kc = sc[keep]
+    bounds = np.searchsorted(kr, idxs)
+    ends = np.searchsorted(kr, idxs, side="right")
+    for pos, row in enumerate(idxs):
+        out[row] = kc[bounds[pos]:ends[pos]]
+    return out
+
+
 def level_for_extent(extent_degrees: float, target_cells_per_axis: int = 8) -> int:
     """Coarsest level at which an extent spans about target_cells_per_axis."""
     if extent_degrees <= 0:

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, BooleanType, LongType
 
-from .cells import cell_from_lonlat, cover_bbox, level_for_extent
+from .cells import cell_from_lonlat, cover_bbox_batch, level_for_extent
 from .kernels import pip_even_odd
 
 
@@ -62,19 +62,24 @@ def cluster_by_cell(df: DataFrame, cell_col: str = "cell",
 
 
 def make_cover_cells(level: int):
-    """pandas_udf: (minx, miny, maxx, maxy) -> array of covering cell ids."""
+    """pandas_udf: (minx, miny, maxx, maxy) -> array of covering cell ids.
+
+    Whole-batch vectorized (cells.cover_bbox_batch): one flat sample->cell
+    pipeline + one global sort-unique for the entire Arrow batch; only
+    antimeridian/oversized rows walk the scalar cover_bbox. The per-row
+    form cost ~1.8 ms/row and dominated polygon-side preparation once the
+    polygon count grew past dim-table size (round-4 overlay join)."""
 
     @pandas_udf(ArrayType(LongType()))
     def cover_cells(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
                     maxy: pd.Series) -> pd.Series:
-        out = []
-        for a, b, c, d in zip(minx, miny, maxx, maxy):
-            if a is None or pd.isna(a):
-                out.append([])
-            else:
-                out.append(cover_bbox(float(a), float(b), float(c), float(d),
-                                      level).astype(np.int64).tolist())
-        return pd.Series(out)
+        covers = cover_bbox_batch(
+            minx.to_numpy(dtype=np.float64, na_value=np.nan),
+            miny.to_numpy(dtype=np.float64, na_value=np.nan),
+            maxx.to_numpy(dtype=np.float64, na_value=np.nan),
+            maxy.to_numpy(dtype=np.float64, na_value=np.nan), level)
+        return pd.Series([
+            [] if c is None else c.astype(np.int64) for c in covers])
 
     return cover_cells
 

@@ -66,7 +66,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
-from .cells import with_cell
 from .join import pick_level, prepare_regions
 from .kernels import _ring_edges, _segments_intersect, pip_even_odd
 
@@ -175,7 +174,18 @@ def polygon_join(
         F.col("bbox_minx").alias("__bminx"), F.col("bbox_miny").alias("__bminy"),
         F.col("bbox_maxx").alias("__bmaxx"), F.col("bbox_maxy").alias("__bmaxy"))
 
+    # sizing counts and the join both consume the covers: persist so the
+    # cover-cells UDF runs once per side (a prepare-once caller pattern like
+    # SpatialJoinPlan would own these caches explicitly). Each side's
+    # broadcast decision is independent: the candidate join broadcasts the
+    # right cover when dim-sized, and each geometry re-attach broadcasts its
+    # side's geometry when that side is dim-sized -- a big side falls back
+    # to a shuffle join on its id (polygon-count sized, far smaller than the
+    # candidate stream, same fallback SpatialJoinPlan documents).
+    lc = lc.persist()
+    rc = rc.persist()
     use_broadcast = rc.count() <= broadcast_threshold
+    bcast_left = lc.count() <= broadcast_threshold
     rside = F.broadcast(rc) if use_broadcast else rc
     cand = lc.join(rside, "cell", "inner").where(
         (F.col("__aminx") <= F.col("__bmaxx"))
@@ -184,20 +194,35 @@ def polygon_join(
         & (F.col("__bminy") <= F.col("__amaxy")))
 
     # canonical-corner dedup: keep the pair only in the cell holding the
-    # bbox-intersection lower-left corner (in both bboxes => in both covers)
-    cand = with_cell(
-        cand,
-        F.greatest(F.col("__aminx"), F.col("__bminx")),
-        F.greatest(F.col("__aminy"), F.col("__bminy")),
-        level, out_col="__corner_cell")
+    # bbox-intersection lower-left corner (in both bboxes => in both covers).
+    # The corner cell is computed by the vectorized NumPy kernel behind an
+    # Arrow barrier, NOT the pure-JVM staged expression: Catalyst's filter
+    # pushdown inlines projection aliases into the join condition, which
+    # flattens the staged cell pipeline into one condition expression with
+    # the trig subtree duplicated ~20x across the Morton fold and evaluated
+    # INTERPRETED per candidate row (~40 us/row, measured -- the same
+    # hazard class as the constraint-propagation pin, but from
+    # PushDownPredicate, which has no config switch). A Python-opaque
+    # column is the clean pushdown barrier; make_cell_of is bit-parity-
+    # pinned against with_cell/cell_from_lonlat in tests/test_cells.py.
+    from .cells import make_cell_of
+
+    cand = cand.select(
+        "cell", left_id, right_id,
+        F.greatest(F.col("__aminx"), F.col("__bminx")).alias("__cx"),
+        F.greatest(F.col("__aminy"), F.col("__bminy")).alias("__cy"))
+    corner = make_cell_of(level)
+    cand = cand.withColumn("__corner_cell",
+                           corner(F.col("__cx"), F.col("__cy")))
     pairs = cand.where(F.col("cell") == F.col("__corner_cell")) \
                 .select(left_id, right_id)
 
     # geometry re-attach AFTER dedup: one geom copy per polygon, not per cell
     lg = left.select(F.col(left_id), F.col(geom_col).alias("__geom_a"))
     rg = right.select(F.col(right_id), F.col(geom_col).alias("__geom_b"))
+    lg_side = F.broadcast(lg) if bcast_left else lg
     rg_side = F.broadcast(rg) if use_broadcast else rg
-    refined = (pairs.join(lg, left_id).join(rg_side, right_id)
+    refined = (pairs.join(lg_side, left_id).join(rg_side, right_id)
                .where(make_pair_refine()(
                    F.col(left_id), F.col("__geom_a"),
                    F.col(right_id), F.col("__geom_b")))

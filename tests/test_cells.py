@@ -176,3 +176,34 @@ def test_cell_of_cols_matches_numpy_kernel(spark):
             df.withColumn("a", make_cell_of(level)(F.col("lon"), F.col("lat"))),
             "lon", "lat", level, "b")
         assert staged.where("a <> b").count() == 0, level
+
+
+def test_cover_bbox_batch_equals_scalar():
+    """The vectorized batch cover (round 4: it feeds make_cover_cells, the
+    polygon-side analog of with_cell) must produce the same cell SET as the
+    scalar cover_bbox for every row -- mixed sizes, poles, antimeridian,
+    NaN rows."""
+    import numpy as np
+
+    from spatial.cells import cover_bbox, cover_bbox_batch
+
+    rng = np.random.default_rng(21)
+    n = 400
+    mnx = rng.uniform(-179, 178, n)
+    mny = rng.uniform(-84, 82, n)
+    mxx = np.minimum(mnx + rng.uniform(0.01, 4.0, n), 180.0)
+    mxy = np.minimum(mny + rng.uniform(0.01, 4.0, n), 85.0)
+    # splice in edge rows: NaN, antimeridian-crossing, degenerate point box
+    mnx[0] = np.nan
+    mnx[1], mxx[1] = 179.5, -179.5
+    mnx[2] = mxx[2]
+    mny[2] = mxy[2]
+    for level in (6, 8, 10):
+        batch = cover_bbox_batch(mnx, mny, mxx, mxy, level)
+        assert batch[0] is None
+        for i in range(1, n):
+            want = set(int(v) for v in cover_bbox(
+                float(mnx[i]), float(mny[i]), float(mxx[i]), float(mxy[i]),
+                level))
+            got = set(int(v) for v in batch[i])
+            assert got == want, (level, i)

@@ -154,3 +154,33 @@ def test_text_set_operators_are_pure_jvm(spark):
         plan = _plan(q)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_polygon_join_plan_broadcast_and_geometry_free_candidates(spark):
+    """polygon_join's scale claims, asserted on the physical plan: with a
+    dim-sized right side (1) the candidate and geometry-attach joins
+    broadcast -- no SortMergeJoin anywhere; (2) the candidate equi-join
+    carries only (cell, id, bbox) -- the geometry struct must not appear
+    below the candidate BroadcastExchange (it re-attaches by id after the
+    canonical-corner dedup)."""
+    from spatial.ewkb import ewkb_decode
+    from spatial.overlay import polygon_join
+    from spatial.synth import synth_regions
+
+    A = synth_regions(spark).select(
+        F.col("region_id").alias("region_a"),
+        ewkb_decode("geom_hex").alias("geom"))
+    B = synth_regions(spark, seed=202).select(
+        F.col("region_id").alias("region_b"),
+        ewkb_decode("geom_hex").alias("geom"))
+    out = polygon_join(A, B, "region_a", "region_b")
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # structure: one join keyed on the cover cell (geometry-free candidate
+    # side carries the __b* bbox columns), geometry re-attached by separate
+    # joins keyed on the region ids
+    assert "BroadcastHashJoin [cell" in plan
+    assert "__bminx" in plan
+    assert ("BroadcastHashJoin [region_b" in plan
+            or "BroadcastHashJoin [region_a" in plan)
