@@ -1409,6 +1409,49 @@ def q_decontaminate(spark, sf_dir):
                                max_df=100)
 
 
+def q_span_dedup(spark, sf_dir):
+    """SPAN-level dedup detection (Lee et al. 2022 exact-substring family):
+    maximal character spans covered by a 24-char window occurring >= 2
+    times corpus-wide, merged per doc. Complements doc-level dedup --
+    repeated boilerplate inside otherwise-unique docs. Only (id, pos,
+    hash) longs shuffle; no document pairs are ever materialized. Oracle:
+    the shared rolling-hash SQL replay + identical island merge."""
+    from spatial.datapipe.spandedup import duplicated_spans
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return duplicated_spans(d, window=24, min_count=2)
+
+
+def q_span_dedup_clean(spark, sf_dir):
+    """Keep-first SPAN REMOVAL: every char covered by a non-earliest
+    occurrence of a duplicated 24-char substring is cut; docs reassembled
+    from survivors. The earliest occurrence is a min() aggregate over a
+    packed (id,pos) key -- deliberately not a row_number window over the
+    hash (boilerplate hashes would pin one task at scale). md5 of each
+    cleaned text is the cross-engine value pin (exact string equality,
+    not just lengths)."""
+    from spatial.datapipe.spandedup import drop_duplicated_spans
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return drop_duplicated_spans(d, window=24)
+
+
+def q_winnow(spark, sf_dir):
+    """WINNOWING fingerprints (Schleimer et al., SIGMOD 2003): rightmost
+    minimum of every w=8 consecutive 8-char rolling hashes -- the
+    guaranteed-coverage fingerprint selection that shuffles only
+    ~2/(w+1) of the hash stream at 100 TB. Selection runs entirely inside
+    one projection (array expressions over the per-doc hash array, zero
+    exchange -- plan-asserted); the A/B-distance selection formula is
+    brute-force-verified against canonical window enumeration in
+    tests/test_spandedup.py. fp_pos_sum pins WHICH positions were
+    selected, not just how many."""
+    from spatial.datapipe.spandedup import winnow_fingerprints
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return winnow_fingerprints(d, window=8, w=8)
+
+
 def q_approx_distinct(spark, sf_dir):
     """Deterministic-HLL approximate COUNT DISTINCT (event_ids per
     event_type), exact distinct alongside for visible calibration. Every
@@ -2482,15 +2525,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order IS the driver's correctness-file order; the driver
     # records ~the first 50 entries. Round-4 rotation (VERDICT r3 task #1):
-    # entries 1-12 are the pinned flagship sentinels (every strategy/family
-    # with a scale-critical code path stays driver-proven each round),
-    # 13-15 the round-4 additions (polygon overlay join, convex clip area,
-    # late-data watermark eviction), 16-50 the 35 queries that had never
-    # appeared in any CORRECTNESS_r{1,2,3}.json -- with this window every
-    # one of the 122 queries has a driver-recorded green row in some round
-    # (cumulative driver-proven = 122/122). 51+ were all recorded green in
-    # r1-r3 under earlier orderings and remain pytest-oracle-verified by
-    # tests/test_entry_contract.py's full 122-query replay.
+    # entries 1-9 are pinned flagship sentinels (every strategy/family with
+    # a scale-critical code path stays driver-proven each round), 10-12 the
+    # round-4 span-dedup/winnowing family (never recorded before -- new
+    # this round), 13-15 the other round-4 additions (polygon overlay join,
+    # convex clip area, late-data watermark eviction), 16-50 the 35 queries
+    # that had never appeared in any CORRECTNESS_r{1,2,3}.json -- with this
+    # window every one of the 125 queries has a driver-recorded green row
+    # in some round (cumulative driver-proven = 125/125; the three
+    # sentinels displaced by the new family -- geocode_rollup,
+    # s2_cell_rollup, geom_collection -- were recorded green in r3 and
+    # moved to 51+). 51+ were all recorded green in r1-r3 under earlier
+    # orderings and remain pytest-oracle-verified by
+    # tests/test_entry_contract.py's full 125-query replay.
     return {
         "q_spatial_join_pages": q_spatial_join_pages,
         "q_spatial_join_salted": q_spatial_join_salted,
@@ -2500,10 +2547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_dups": q_embedding_dups,
         "q_ann_ivf": q_ann_ivf,
-        "q_geocode_rollup": q_geocode_rollup,
-        "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_multimodal_features": q_multimodal_features,
-        "q_geom_collection": q_geom_collection,
+        "q_span_dedup": q_span_dedup,
+        "q_span_dedup_clean": q_span_dedup_clean,
+        "q_winnow": q_winnow,
         "q_spatial_join_regions": q_spatial_join_regions,
         "q_intersection_area": q_intersection_area,
         "q_stream_late": q_stream_late,
@@ -2543,6 +2590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_weighted_sample": q_weighted_sample,
         "q_spatial_join_shuffle": q_spatial_join_shuffle,
+        "q_geocode_rollup": q_geocode_rollup,
+        "q_s2_cell_rollup": q_s2_cell_rollup,
+        "q_geom_collection": q_geom_collection,
         "q_spatial_join_left": q_spatial_join_left,
         "q_sqlapi_funcs": q_sqlapi_funcs,
         "q_stream_stateful": q_stream_stateful,
@@ -2699,6 +2749,27 @@ def _decontaminate_oracle() -> str:
       FROM documents WHERE doc_id % 2 = 0"""
     return contamination_oracle_sql(cte, "id < 1000000", "id >= 1000000",
                                     threshold=0.8, shingle_k=8, max_df=100)
+
+
+_SPAN_DOCS_CTE = "SELECT doc_id AS id, text FROM documents"
+
+
+def _span_dedup_oracle() -> str:
+    from spatial.datapipe.spandedup import spans_oracle_sql
+
+    return spans_oracle_sql(_SPAN_DOCS_CTE, window=24, min_count=2)
+
+
+def _span_dedup_clean_oracle() -> str:
+    from spatial.datapipe.spandedup import clean_oracle_sql
+
+    return clean_oracle_sql(_SPAN_DOCS_CTE, window=24)
+
+
+def _winnow_oracle() -> str:
+    from spatial.datapipe.spandedup import winnow_oracle_sql
+
+    return winnow_oracle_sql(_SPAN_DOCS_CTE, window=8, w=8)
 
 
 def _approx_distinct_oracle() -> str:
@@ -3713,6 +3784,9 @@ def oracle_sql() -> dict[str, str]:
             FROM __ranked WHERE rank <= 3""",
         "q_stratified_sample": _stratified_sample_oracle(),
         "q_decontaminate": _decontaminate_oracle(),
+        "q_span_dedup": _span_dedup_oracle(),
+        "q_span_dedup_clean": _span_dedup_clean_oracle(),
+        "q_winnow": _winnow_oracle(),
         "q_approx_distinct": _approx_distinct_oracle(),
         "q_interval_join": """
             WITH c AS (SELECT event_id AS click_id, user_id,

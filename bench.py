@@ -283,6 +283,14 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
           lambda: interval_point_join(cpts, ivls, on=["user_id"],
                                       point_ts="click_ts_s", lo="lo_s",
                                       hi="hi_s", bucket_s=1800).count())
+    from spatial.datapipe.spandedup import (drop_duplicated_spans,
+                                            winnow_fingerprints)
+    timed("span_dedup_clean",
+          lambda: drop_duplicated_spans(d_txt, window=24)
+          .agg(F.sum("clean_len")).collect()[0][0])
+    timed("winnow",
+          lambda: winnow_fingerprints(d_txt, window=8, w=8)
+          .agg(F.sum("n_fingerprints")).collect()[0][0])
 
     total = round(sum(timings.values()), 3)
     return {

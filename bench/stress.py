@@ -2,7 +2,7 @@
 
 The module docstrings claim O(.) shapes for the flagship join, eval-set
 decontamination and the minhash -> cluster-resolve dedup chain; this runs
-them once at 10x the per-round bench scale and RECORDS the shapes instead
+them (best-of-2) at 10x the per-round bench scale and RECORDS the shapes instead
 of asserting them: per-op wall seconds plus per-op shuffle read/write bytes
 (parsed from the Spark event log -- ops are isolated via setJobGroup, job
 -> stages from SparkListenerJobStart, bytes from the internal.metrics
@@ -15,7 +15,7 @@ Checks encoded in the output (the judge-facing contract):
   * the 2M-page determinism invariant join_rows == 671392 still holds, and
     the 5M-page join_rows is recorded as the new-scale pin.
 
-Usage: python bench/stress.py [pages=5000000] [doc_copies=10]
+Usage: python bench/stress.py [pages=5000000] [doc_scale=10]
        -> one JSON line on stdout; the driver-facing artifact is
        BENCH/stress_r4.json (written by the caller redirecting stdout).
 """
@@ -47,29 +47,57 @@ def build_spark(cpus: int, event_dir: str):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", event_dir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
 
 
-def scaled_docs(spark, copies: int):
-    """documents scaled `copies`x: copy c appends c 'pad' tokens, so copies
-    of one doc_id form a near-dup family (minhash threshold 0.7 keeps them
-    paired) -- dup-group size grows with `copies`, stressing both the
-    banded candidate generator and the cluster-resolve rounds."""
+def scaled_docs(spark, scale: int, width: int = 2):
+    """documents scaled to `scale` x 5000 near-dup FAMILIES of constant
+    `width`: the base corpus is replicated `scale` times (each replica a
+    new family), and each family carries `width` members (member c appends
+    c 'pad' tokens, so minhash threshold 0.7 keeps the family paired).
+    Holding width CONSTANT while families grow 10x is the point -- the
+    dedup/decontam module docstrings claim linear shuffle growth for
+    bounded dup-group size, and a single 'copies' knob would conflate
+    corpus size with family width (candidate pairs are quadratic in width
+    by construction, linear in family count).
+
+    Every token is salted with the FAMILY id: the synth corpus draws from
+    a ~30-word vocabulary, so unsalted 8-gram shingles are shared by
+    hundreds of docs (median df 22, p99 772 at sf0.1) and the decontam
+    max_df boilerplate guard correctly zeroes containment -- the
+    degenerate all-boilerplate regime, not the diverse-web-text regime
+    this harness prices. Salting makes shingles family-unique (members of
+    one family still share them), so dedup components and decontam planted
+    pairs become deterministic result pins."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet") \
                 .select("doc_id", "text")
-    c = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("copy")
-    return (docs.select("doc_id", "text", c)
-            .select((F.col("doc_id") * copies + F.col("copy")).alias("doc_id"),
+    rep = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("rep")
+    fam = (docs.select("doc_id", "text", rep)
+           .select((F.col("doc_id") * scale + F.col("rep"))
+                   .alias("family_id"), "text"))
+    salted = fam.select(
+        "family_id",
+        F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit("_"),
+                                           F.col("family_id").cast("string"))),
+            " ").alias("text"))
+    c = F.explode(F.sequence(F.lit(0), F.lit(width - 1))).alias("copy")
+    return (salted.select("family_id", "text", c)
+            .select((F.col("family_id") * width + F.col("copy"))
+                    .alias("doc_id"),
                     F.concat(F.col("text"), F.lit(" "),
                              F.repeat(F.lit("pad "), F.col("copy")))
                     .alias("text")))
 
 
-def run_ops(spark, n_pages: int, copies: int) -> dict:
+def run_ops(spark, n_pages: int, scale: int) -> dict:
     from pyspark.sql import functions as F
 
     from spatial.datapipe.cluster import connected_components
@@ -84,11 +112,20 @@ def run_ops(spark, n_pages: int, copies: int) -> dict:
     out: dict = {"ops": {}}
 
     def op(name, fn):
-        sc.setJobGroup(name, name)
+        # best-of-2 on this noisy shared host (CLAUDE.md protocol): the
+        # first run warms codegen/Python workers under a '#warm' job group
+        # so the recorded group's shuffle/input bytes cover exactly ONE
+        # steady-state execution.
+        sc.setJobGroup(name + "#warm", name)
         t0 = time.perf_counter()
         res = fn()
-        out["ops"][name] = {"sec": round(time.perf_counter() - t0, 3),
-                            "result": res}
+        warm_dt = time.perf_counter() - t0
+        sc.setJobGroup(name, name)
+        t0 = time.perf_counter()
+        res2 = fn()
+        dt = time.perf_counter() - t0
+        assert res2 == res, f"{name}: nondeterministic result {res} vs {res2}"
+        out["ops"][name] = {"sec": round(min(dt, warm_dt), 3), "result": res}
         sc.setJobGroup("idle", "idle")
         return res
 
@@ -106,14 +143,19 @@ def run_ops(spark, n_pages: int, copies: int) -> dict:
     out["invariant_join_rows_2m"] = inv
     out["invariant_ok"] = (inv == 671392)
 
-    for label, n in [("flagship_1x", n_pages // 10), ("flagship_10x", n_pages)]:
-        op(label, lambda n=n: plan.join(
-            enrich_pages(synth_pages(spark, n), 12),
-            x_col="lon", y_col="lat").count())
+    # inputs persisted + counted OUTSIDE the op timing (bench.py protocol:
+    # the pipeline is priced, not the synthesizer)
+    pages_1x = synth_pages(spark, n_pages // 10).persist()
+    pages_10x = synth_pages(spark, n_pages).persist()
+    pages_1x.count(), pages_10x.count()
+    for label, pg in [("flagship_1x", pages_1x), ("flagship_10x", pages_10x)]:
+        op(label, lambda pg=pg: plan.join(
+            enrich_pages(pg, 12), x_col="lon", y_col="lat").count())
+    pages_1x.unpersist(), pages_10x.unpersist()
 
     d1 = scaled_docs(spark, 1).persist()
     d1.count()
-    d10 = scaled_docs(spark, copies).persist()
+    d10 = scaled_docs(spark, scale).persist()
     d10.count()
 
     def dedup_chain(d):
@@ -142,9 +184,19 @@ def parse_event_log(event_dir: str) -> dict:
     """event log -> {job_group: {"shuffle_read_bytes", "shuffle_write_bytes",
     "input_bytes", "n_stages"}} via JobStart (group -> stage ids) +
     StageCompleted accumulables."""
-    files = [f for f in glob.glob(os.path.join(event_dir, "*"))
-             if not f.endswith(".inprogress")] or glob.glob(
-                 os.path.join(event_dir, "*"))
+    # Spark 4 rolling logs are DIRECTORIES (eventlog_v2_<app>/events_*);
+    # expand them to the event files inside, skip appstatus_* markers.
+    entries = glob.glob(os.path.join(event_dir, "*"))
+    files = []
+    for ent in entries:
+        if os.path.isdir(ent):
+            files.extend(f for f in glob.glob(os.path.join(ent, "*"))
+                         if os.path.isfile(f)
+                         and not os.path.basename(f).startswith("appstatus"))
+        elif os.path.isfile(ent):
+            files.append(ent)
+    preferred = [f for f in files if not f.endswith(".inprogress")]
+    files = preferred or files
     stage_group: dict = {}
     agg: dict = {}
     wanted = {
@@ -185,17 +237,21 @@ def parse_event_log(event_dir: str) -> dict:
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
-    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     event_dir = tempfile.mkdtemp(prefix="stress_evlog_")
     spark = build_spark(cpus, event_dir)
     try:
-        report = run_ops(spark, n_pages, copies)
+        report = run_ops(spark, n_pages, scale)
     finally:
         spark.stop()
     metrics = parse_event_log(event_dir)
     for name, rec in report["ops"].items():
-        rec.update(metrics.get(name, {}))
+        # bytes come from the WARM (first) run's job group: the
+        # steady-state rerun reuses first-run shuffle outputs (skipped
+        # stages), so its stage metrics under-report exchange volume;
+        # the warm run executes every stage exactly once from cold.
+        rec.update(metrics.get(name + "#warm", metrics.get(name, {})))
 
     def growth(a, b, key):
         x, y = report["ops"][a].get(key, 0), report["ops"][b].get(key, 0)
@@ -210,7 +266,7 @@ def main():
                           for k in ("sec", "shuffle_write_bytes")},
     }
     report["n_pages"] = n_pages
-    report["doc_copies"] = copies
+    report["doc_scale"] = scale
     report["cpus"] = cpus
     print(json.dumps(report))
 
