@@ -1452,6 +1452,43 @@ def q_winnow(spark, sf_dir):
     return winnow_fingerprints(d, window=8, w=8)
 
 
+def q_lm_score(spark, sf_dir):
+    """Corpus-self-trained bigram-LM quality score (CCNet/Gopher-style
+    perplexity proxy): Laplace-smoothed P(w2|w1) from two map-side-combined
+    count aggregates over the corpus itself, per-doc total negative
+    log-likelihood. Output is INTEGER-ONLY (micronat quantization of ln of
+    exact integer counts, order-free BIGINT sums), so cross-engine parity
+    is bit-exact -- see textstats.lm_score for the float-parity argument.
+    The statistical-LM quality axis complements the heuristic
+    q_quality_scores filter."""
+    from spatial.datapipe.textstats import lm_score
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return lm_score(d)
+
+
+def q_cluster_split(spark, sf_dir):
+    """LEAKAGE-FREE train/val/test split: near-dup components (the verified
+    MinHash pair graph, same construction as q_minhash_pairs /
+    q_dedup_clusters) are assigned to splits ATOMICALLY via a deterministic
+    hash of the component's cluster_id -- planted twin pairs provably land
+    in the SAME split (a per-doc hash split would leak ~9.5% of dup pairs
+    across the train/eval boundary at 90/5/5). Oracle: the full minhash
+    pair SQL + recursive-closure components + the identical sample_bucket
+    CASE."""
+    from spatial.datapipe.cluster import leakage_free_split
+    from spatial.datapipe.dedup import minhash_dedup_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    twins = d.withColumn("doc_id", F.col("doc_id") + 1_000_000) \
+             .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    corpus = d.union(twins)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.7,
+                                num_perm=64, bands=16)
+    return (leakage_free_split(corpus.select("doc_id"), pairs)
+            .select("doc_id", "cluster_id", "split"))
+
+
 def q_approx_distinct(spark, sf_dir):
     """Deterministic-HLL approximate COUNT DISTINCT (event_ids per
     event_type), exact distinct alongside for visible calibration. Every
@@ -2525,32 +2562,33 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order IS the driver's correctness-file order; the driver
     # records ~the first 50 entries. Round-4 rotation (VERDICT r3 task #1):
-    # entries 1-9 are pinned flagship sentinels (every strategy/family with
-    # a scale-critical code path stays driver-proven each round), 10-12 the
-    # round-4 span-dedup/winnowing family (never recorded before -- new
-    # this round), 13-15 the other round-4 additions (polygon overlay join,
-    # convex clip area, late-data watermark eviction), 16-50 the 35 queries
-    # that had never appeared in any CORRECTNESS_r{1,2,3}.json -- with this
-    # window every one of the 125 queries has a driver-recorded green row
-    # in some round (cumulative driver-proven = 125/125; the three
-    # sentinels displaced by the new family -- geocode_rollup,
-    # s2_cell_rollup, geom_collection -- were recorded green in r3 and
+    # entries 1-7 are pinned flagship sentinels (every strategy/family with
+    # a scale-critical code path stays driver-proven each round), 8-12 the
+    # round-4 span-dedup/winnowing/LM-score/leakage-split family (never
+    # recorded before -- new this round), 13-15 the other round-4 additions
+    # (polygon overlay join, convex clip area, late-data watermark
+    # eviction), 16-50 the 35 queries that had never appeared in any
+    # CORRECTNESS_r{1,2,3}.json -- with this window every one of the 127
+    # queries has a driver-recorded green row in some round (cumulative
+    # driver-proven = 127/127; the five sentinels displaced by the new
+    # family -- geocode_rollup, s2_cell_rollup, geom_collection,
+    # simhash_pairs, embedding_dups -- were recorded green in r1-r3 and
     # moved to 51+). 51+ were all recorded green in r1-r3 under earlier
     # orderings and remain pytest-oracle-verified by
-    # tests/test_entry_contract.py's full 125-query replay.
+    # tests/test_entry_contract.py's full 127-query replay.
     return {
         "q_spatial_join_pages": q_spatial_join_pages,
         "q_spatial_join_salted": q_spatial_join_salted,
         "q_knn_grid": q_knn_grid,
         "q_knn_distributed": q_knn_distributed,
         "q_minhash_pairs": q_minhash_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_embedding_dups": q_embedding_dups,
         "q_ann_ivf": q_ann_ivf,
         "q_multimodal_features": q_multimodal_features,
         "q_span_dedup": q_span_dedup,
         "q_span_dedup_clean": q_span_dedup_clean,
         "q_winnow": q_winnow,
+        "q_lm_score": q_lm_score,
+        "q_cluster_split": q_cluster_split,
         "q_spatial_join_regions": q_spatial_join_regions,
         "q_intersection_area": q_intersection_area,
         "q_stream_late": q_stream_late,
@@ -2593,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geocode_rollup": q_geocode_rollup,
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_geom_collection": q_geom_collection,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_embedding_dups": q_embedding_dups,
         "q_spatial_join_left": q_spatial_join_left,
         "q_sqlapi_funcs": q_sqlapi_funcs,
         "q_stream_stateful": q_stream_stateful,
@@ -2770,6 +2810,20 @@ def _winnow_oracle() -> str:
     from spatial.datapipe.spandedup import winnow_oracle_sql
 
     return winnow_oracle_sql(_SPAN_DOCS_CTE, window=8, w=8)
+
+
+def _lm_score_oracle() -> str:
+    from spatial.datapipe.textstats import lm_score_oracle_sql
+
+    return lm_score_oracle_sql(_SPAN_DOCS_CTE)
+
+
+def _cluster_split_oracle() -> str:
+    from spatial.datapipe.cluster import leakage_free_split_oracle_sql
+
+    docs_cte = """SELECT doc_id FROM documents
+      UNION ALL SELECT doc_id + 1000000 AS doc_id FROM documents"""
+    return leakage_free_split_oracle_sql(docs_cte, _minhash_oracle())
 
 
 def _approx_distinct_oracle() -> str:
@@ -3787,6 +3841,8 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup": _span_dedup_oracle(),
         "q_span_dedup_clean": _span_dedup_clean_oracle(),
         "q_winnow": _winnow_oracle(),
+        "q_lm_score": _lm_score_oracle(),
+        "q_cluster_split": _cluster_split_oracle(),
         "q_approx_distinct": _approx_distinct_oracle(),
         "q_interval_join": """
             WITH c AS (SELECT event_id AS click_id, user_id,

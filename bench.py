@@ -291,6 +291,10 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
     timed("winnow",
           lambda: winnow_fingerprints(d_txt, window=8, w=8)
           .agg(F.sum("n_fingerprints")).collect()[0][0])
+    from spatial.datapipe.textstats import lm_score
+    timed("lm_score",
+          lambda: lm_score(d_txt)
+          .agg(F.sum("nll_micro")).collect()[0][0])
 
     total = round(sum(timings.values()), 3)
     return {

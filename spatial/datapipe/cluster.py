@@ -123,3 +123,57 @@ __reach(id, lab) AS (
 ),
 __cc AS (SELECT id, MIN(lab) AS cluster_id FROM __reach GROUP BY id)
 """
+
+
+def leakage_free_split(df: DataFrame, pairs: DataFrame,
+                       cuts: tuple[int, int] = (9000, 9500),
+                       id_col: str = "doc_id") -> DataFrame:
+    """Train/val/test split that can NEVER leak near-duplicates across
+    splits: every near-dup component (from `pairs`, e.g. MinHash) is
+    assigned ATOMICALLY -- the split is a pure hash of the component's
+    cluster_id, so all members land together by construction (a plain
+    per-doc hash split puts ~2*p*(1-p) of each dup pair across the
+    boundary, the classic eval-contamination bug this operator exists to
+    prevent; singletons hash on their own id = their cluster_id).
+
+    `cuts` are permyriad thresholds on curation.sample_bucket(cluster_id):
+    bucket < cuts[0] -> train, < cuts[1] -> val, else test (defaults
+    90/5/5).  The bucket is the repo's deterministic two-round mix --
+    partition/retry-stable, identical in SQL -- so splits are reproducible
+    across runs, engines and cluster sizes.
+
+    Scale shape: dedup_assign's component map is tiny relative to the
+    corpus (broadcast join); the split adds ONE pure-JVM projection on top
+    -- no extra shuffle, no floats, no text."""
+    from .curation import sample_bucket
+
+    lo, hi = cuts
+    assigned = dedup_assign(df, pairs, id_col=id_col)
+    b = sample_bucket(F.col("cluster_id"))
+    return assigned.withColumn(
+        "split",
+        F.when(b < lo, F.lit("train"))
+         .when(b < hi, F.lit("val"))
+         .otherwise(F.lit("test")))
+
+
+def leakage_free_split_oracle_sql(docs_cte: str, pairs_sql: str,
+                                  cuts: tuple[int, int] = (9000, 9500),
+                                  id_col: str = "doc_id") -> str:
+    """DuckDB replay: the recursive-closure component map (shared
+    connected_components oracle), LEFT JOIN onto the corpus with singleton
+    coalesce, then the identical sample_bucket CASE on cluster_id."""
+    from .curation import sample_bucket_sql
+
+    lo, hi = cuts
+    bucket = sample_bucket_sql("cluster_id")
+    return connected_components_oracle_sql(pairs_sql) + f"""
+, __docs AS (SELECT {id_col} AS id FROM ({docs_cte})),
+__assigned AS (
+  SELECT d.id, COALESCE(c.cluster_id, d.id) AS cluster_id
+  FROM __docs d LEFT JOIN __cc c USING (id))
+SELECT id AS {id_col}, cluster_id,
+       CASE WHEN {bucket} < {lo} THEN 'train'
+            WHEN {bucket} < {hi} THEN 'val'
+            ELSE 'test' END AS split
+FROM __assigned"""

@@ -349,3 +349,97 @@ def pmi_bigrams(df: DataFrame, k: int = 30, min_count: int = 5,
                        F.col("w2").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("w1", "w2", "n_pair", "n_w1", "n_w2", "rank", "score"))
+
+
+def lm_score(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Corpus-self-trained bigram-LM quality score (perplexity proxy): the
+    CCNet/Gopher-style statistical filter -- docs whose word sequences are
+    improbable under a language model score high negative log-likelihood
+    (gibberish, boilerplate soup, OCR noise) and get cut before training.
+    Here the LM is trained on the corpus itself in the SAME job (two count
+    aggregates), the honest self-contained variant: no external model.
+
+    Model: Laplace-smoothed bigram,  P(w2|w1) = (C12 + 1) / (C1 + V)
+    with C12 = corpus bigram count, C1 = corpus count of w1 as a bigram
+    prefix, V = corpus distinct-token vocabulary.  Per doc with n >= 1
+    bigrams the result is the total negative log-likelihood.
+
+    Float-parity design (oracle policy): ln() is NOT IEEE-portable, and a
+    per-doc SUM of doubles is aggregation-order-dependent.  Both are
+    eliminated by quantizing ln of each *integer count* to micronats:
+
+        L(c)      = floor(ln(c) * 1e6)            (BIGINT)
+        li        = L(C12 + 1) - L(C1 + V)        (exact long)
+        nll_micro = -sum(li * m)                  (exact long sum)
+
+    Only ln of EXACT SMALL INTEGERS is ever taken, so the set of distinct
+    ln arguments is the distinct-count set (thousands, not millions) and a
+    cross-engine ulp flip would have to land within ~1e-9 of a floor
+    boundary to matter -- far from boundaries in the policy's sense.  The
+    long sum is order-free, so output is bit-exact and integer-only.
+
+    Scale shape (100 TB): token/bigram counts are two map-side-combined
+    aggregates; the doc stream is pre-aggregated per (doc, gram) so the
+    count-joins carry distinct grams per doc, not raw positions; V arrives
+    as a broadcast 1-row aggregate; joins are string-keyed with AQE skew
+    handling (stopword-pair grams are hot); output is one integer row per
+    doc -- no floats and no text ever shuffle past tokenization."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda w: w != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__ts"))
+    vocab = (base.select(F.explode("__ts").alias("w"))
+             .agg(F.count_distinct("w").alias("__v")))
+    big = (base.where(F.size("__ts") >= 2)
+           .select("id", F.explode(_grams_from(F.col("__ts"), 2)).alias("g"))
+           .groupBy("id", "g").agg(F.count("*").alias("m"))
+           .withColumn("w1", F.split(F.col("g"), " ")[0]))
+    c12 = big.groupBy("g").agg(F.sum("m").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.sum("m").alias("c1"))
+
+    def _ln_micro(c: Column) -> Column:
+        return F.floor(F.log(c.cast("double")) * F.lit(1000000.0)) \
+                .cast("long")
+
+    scored = (big.join(c12, "g").join(c1, "w1").crossJoin(vocab)
+              .withColumn("__li",
+                          _ln_micro(F.col("c12") + F.lit(1))
+                          - _ln_micro(F.col("c1") + F.col("__v"))))
+    return (scored.groupBy("id")
+            .agg(F.sum("m").cast("int").alias("n_bigrams"),
+                 (-F.sum(F.col("__li") * F.col("m"))).alias("nll_micro"))
+            .select(F.col("id").alias("doc_id"), "n_bigrams", "nll_micro"))
+
+
+def lm_score_oracle_sql(docs_cte: str) -> str:
+    """DuckDB replay of lm_score: identical tokenization (the PMI regex),
+    identical counts, the identical L(c) = floor(ln(c)*1e6) quantization of
+    integer counts, exact BIGINT sums."""
+    return f"""
+WITH __toks AS (
+  SELECT id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS ts
+  FROM ({docs_cte}) WHERE text IS NOT NULL),
+__vocab AS (SELECT COUNT(DISTINCT w) AS v
+            FROM (SELECT unnest(ts) AS w FROM __toks)),
+__big AS (
+  SELECT id, g, COUNT(*) AS m FROM (
+    SELECT id, unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS g
+    FROM __toks WHERE len(ts) >= 2) __g
+  GROUP BY id, g),
+__c12 AS (SELECT g, SUM(m) AS c12 FROM __big GROUP BY g),
+__c1 AS (SELECT string_split(g, ' ')[1] AS w1, SUM(m) AS c1
+         FROM __big GROUP BY 1),
+__s AS (
+  SELECT b.id, b.m,
+         CAST(FLOOR(LN(CAST(c.c12 + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+       - CAST(FLOOR(LN(CAST(p.c1 + v.v AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS li
+  FROM __big b
+  JOIN __c12 c USING (g)
+  JOIN __c1 p ON p.w1 = string_split(b.g, ' ')[1]
+  CROSS JOIN __vocab v)
+SELECT id AS doc_id, CAST(SUM(m) AS INT) AS n_bigrams,
+       CAST(-SUM(li * m) AS BIGINT) AS nll_micro
+FROM __s GROUP BY id"""
