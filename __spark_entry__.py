@@ -1304,6 +1304,72 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_enrich(spark, sf_dir):
+    """STREAM-STATIC broadcast enrichment join under the oracle gate
+    (streaming.enrich_stream_static): every streaming event picks up its
+    user's market segment and nation from the static customer->nation
+    dimension (pre-joined batch-side, broadcast-hinted), LEFT-outer so
+    unmatched users survive with nulls -- the dimension is deliberately
+    restricted to c_custkey < 100 so users 100-149 exercise the null path
+    in the recorded result. The stream itself never shuffles for the
+    join: each micro-batch probes a broadcast hash map, the only
+    enrichment plan that survives an unbounded stream. On availableNow
+    input the result equals the batch left join, replayed in DuckDB."""
+    import tempfile
+    import uuid
+
+    from spatial.streaming import enrich_stream_static, run_available_now
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+                .where(F.col("c_custkey") < 100)
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dim = (cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+           .select("c_custkey", "c_mktsegment",
+                   F.col("n_name").alias("nation")))
+    enriched = enrich_stream_static(
+        stream.select("event_id", "user_id", "event_type"),
+        dim, "user_id", "c_custkey")
+    out = enriched.select("event_id", "user_id", "event_type",
+                          F.col("c_mktsegment").alias("mktsegment"),
+                          "nation")
+    name = "q_stream_enrich_" + uuid.uuid4().hex[:10]
+    run_available_now(out, tempfile.mkdtemp(prefix="q_stream_enrich_"),
+                      name, output_mode="append")
+    return spark.table(name)
+
+
+def q_union_area(spark, sf_dir):
+    """EXACT union area of axis-aligned rectangles per coverage class
+    (overlay.union_area): the ST_Union-area half of overlay algebra on the
+    rectangle subalgebra, evaluated as a relational sweep line (slab
+    decomposition + gaps-and-islands interval merge, windows/aggregates
+    only, no driver-side sweep state). Rectangles are integer-derived from
+    o_orderkey (LCG-multiplier mixes mod the coordinate span), so every
+    value is BIGINT arithmetic and the DuckDB replay is bit-exact.
+    gross_area (sum of individual areas) rides along: its ratio to
+    union_area is the overlap factor coverage analytics must not
+    overstate."""
+    from spatial.overlay import union_area
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+             .select(F.col("o_orderkey").cast("long").alias("k"))
+    kk = F.col("k")
+    rects = o.select(
+        (kk % 8).alias("key"),
+        ((kk * 48271) % 100000).alias("xmin"),
+        ((kk * 69621) % 100000).alias("ymin"),
+        ((kk * 48271) % 100000 + (kk * 16807) % 3000 + 1).alias("xmax"),
+        ((kk * 69621) % 100000 + (kk * 39916801) % 3000 + 1).alias("ymax"))
+    ua = union_area(rects, "key")
+    gross = rects.groupBy("key").agg(
+        F.sum((F.col("xmax") - F.col("xmin"))
+              * (F.col("ymax") - F.col("ymin"))).alias("gross_area"))
+    return ua.join(gross, "key").select("key", "union_area", "gross_area")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER resolution: the verified MinHash pair graph (same
     construction as q_minhash_pairs) resolved to connected components by
@@ -2562,33 +2628,34 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order IS the driver's correctness-file order; the driver
     # records ~the first 50 entries. Round-4 rotation (VERDICT r3 task #1):
-    # entries 1-7 are pinned flagship sentinels (every strategy/family with
-    # a scale-critical code path stays driver-proven each round), 8-12 the
-    # round-4 span-dedup/winnowing/LM-score/leakage-split family (never
-    # recorded before -- new this round), 13-15 the other round-4 additions
-    # (polygon overlay join, convex clip area, late-data watermark
-    # eviction), 16-50 the 35 queries that had never appeared in any
-    # CORRECTNESS_r{1,2,3}.json -- with this window every one of the 127
-    # queries has a driver-recorded green row in some round (cumulative
-    # driver-proven = 127/127; the five sentinels displaced by the new
-    # family -- geocode_rollup, s2_cell_rollup, geom_collection,
-    # simhash_pairs, embedding_dups -- were recorded green in r1-r3 and
-    # moved to 51+). 51+ were all recorded green in r1-r3 under earlier
-    # orderings and remain pytest-oracle-verified by
-    # tests/test_entry_contract.py's full 127-query replay.
+    # entries 1-5 are pinned flagship sentinels (every strategy/family with
+    # a scale-critical code path stays driver-proven each round), 6-12 the
+    # round-4 span-dedup/winnowing/LM-score/leakage-split/stream-enrich/
+    # union-area family (never recorded before -- new this round), 13-15
+    # the other round-4 additions (polygon overlay join, convex clip area,
+    # late-data watermark eviction), 16-50 the
+    # 35 queries that had never appeared in any CORRECTNESS_r{1,2,3}.json
+    # -- with this window every one of the 129 queries has a
+    # driver-recorded green row in some round (cumulative driver-proven =
+    # 129/129; the seven sentinels displaced by the new family --
+    # geocode_rollup, s2_cell_rollup, geom_collection, simhash_pairs,
+    # embedding_dups, multimodal_features, ann_ivf -- were recorded green
+    # in r1-r3 and moved to 51+). 51+ were all recorded green in r1-r3
+    # under earlier orderings and remain pytest-oracle-verified by
+    # tests/test_entry_contract.py's full 129-query replay.
     return {
         "q_spatial_join_pages": q_spatial_join_pages,
         "q_spatial_join_salted": q_spatial_join_salted,
         "q_knn_grid": q_knn_grid,
         "q_knn_distributed": q_knn_distributed,
         "q_minhash_pairs": q_minhash_pairs,
-        "q_ann_ivf": q_ann_ivf,
-        "q_multimodal_features": q_multimodal_features,
         "q_span_dedup": q_span_dedup,
         "q_span_dedup_clean": q_span_dedup_clean,
         "q_winnow": q_winnow,
         "q_lm_score": q_lm_score,
         "q_cluster_split": q_cluster_split,
+        "q_stream_enrich": q_stream_enrich,
+        "q_union_area": q_union_area,
         "q_spatial_join_regions": q_spatial_join_regions,
         "q_intersection_area": q_intersection_area,
         "q_stream_late": q_stream_late,
@@ -2633,6 +2700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geom_collection": q_geom_collection,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_dups": q_embedding_dups,
+        "q_multimodal_features": q_multimodal_features,
+        "q_ann_ivf": q_ann_ivf,
         "q_spatial_join_left": q_spatial_join_left,
         "q_sqlapi_funcs": q_sqlapi_funcs,
         "q_stream_stateful": q_stream_stateful,
@@ -2824,6 +2893,25 @@ def _cluster_split_oracle() -> str:
     docs_cte = """SELECT doc_id FROM documents
       UNION ALL SELECT doc_id + 1000000 AS doc_id FROM documents"""
     return leakage_free_split_oracle_sql(docs_cte, _minhash_oracle())
+
+
+def _union_area_oracle() -> str:
+    from spatial.overlay import union_area_oracle_sql
+
+    rects = """SELECT k % 8 AS key,
+       (k * 48271) % 100000 AS xmin,
+       (k * 69621) % 100000 AS ymin,
+       (k * 48271) % 100000 + (k * 16807) % 3000 + 1 AS xmax,
+       (k * 69621) % 100000 + (k * 39916801) % 3000 + 1 AS ymax
+      FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)"""
+    ua = union_area_oracle_sql(rects, "key")
+    return f"""
+SELECT u.key, u.union_area, g.gross_area
+FROM ({ua}) u
+JOIN (SELECT key,
+             CAST(SUM((xmax - xmin) * (ymax - ymin)) AS BIGINT)
+               AS gross_area
+      FROM ({rects}) GROUP BY key) g USING (key)"""
 
 
 def _approx_distinct_oracle() -> str:
@@ -3843,6 +3931,7 @@ def oracle_sql() -> dict[str, str]:
         "q_winnow": _winnow_oracle(),
         "q_lm_score": _lm_score_oracle(),
         "q_cluster_split": _cluster_split_oracle(),
+        "q_union_area": _union_area_oracle(),
         "q_approx_distinct": _approx_distinct_oracle(),
         "q_interval_join": """
             WITH c AS (SELECT event_id AS click_id, user_id,
@@ -4029,6 +4118,15 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts <= v.ts + INTERVAL 4 HOUR""",
         "q_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events""",
+        "q_stream_enrich": """
+            SELECT e.event_id, e.user_id, e.event_type,
+                   d.c_mktsegment AS mktsegment, d.nation
+            FROM events e
+            LEFT JOIN (SELECT c_custkey, c_mktsegment, n_name AS nation
+                       FROM customer JOIN nation
+                         ON c_nationkey = n_nationkey
+                       WHERE c_custkey < 100) d
+              ON e.user_id = d.c_custkey""",
         "q_zorder_layout": _zorder_oracle(),
         "q_incremental_dedup": _incremental_dedup_oracle(),
         "q_tile_pyramid": _tile_pyramid_oracle(),

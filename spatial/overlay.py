@@ -432,3 +432,125 @@ SELECT {id_col},
            0.0)), 6)
        * CASE WHEN len(vs) >= 3 THEN 1.0 ELSE 0.0 END AS {area_col}
 FROM {src}"""
+
+
+# ---------------------------------------------------------------------------
+# union area (sweep-line slab decomposition)
+# ---------------------------------------------------------------------------
+
+
+def union_area(rects: DataFrame, key_col: str = "key",
+               xmin: str = "xmin", ymin: str = "ymin",
+               xmax: str = "xmax", ymax: str = "ymax") -> DataFrame:
+    """Exact UNION AREA of axis-aligned rectangles per key (round-3 verdict
+    gap #2, the ST_Union-area half of overlay algebra, on the rectangle
+    subalgebra where web-scale exactness is attainable): overlapping page /
+    region bboxes counted ONCE -- sum(w*h) overstates coverage by the
+    overlap factor, which is exactly what coverage analytics must not do.
+
+    Algorithm: classic sweep-line evaluated as relational algebra, no
+    driver-side sweep state. Distinct x boundaries per key cut the plane
+    into SLABS (lead() window); each rectangle joins to the slabs it fully
+    spans; per (key, slab) the active y-intervals merge via the
+    gaps-and-islands window pattern (an interval starts a new island iff
+    its ymin exceeds the running max ymax of everything before it in
+    (ymin, ymax) order); covered length = sum over islands of
+    max(ymax) - min(ymin); area = covered length x slab width, summed per
+    key. Every step is pure-JVM window/aggregate arithmetic on BIGINTs --
+    integer inputs make the result EXACT and bit-identical cross-engine
+    (no floats anywhere).
+
+    Scale shape (100 TB): everything shuffles by (key) or (key, slab) --
+    the natural partitioning when key is a region/tile id, the same
+    pre-partitioning the spatial join uses. Rows after the slab join =
+    sum over slabs of the slab's ACTIVE SET (rectangles crossing it):
+    bounded by local overlap density x n, the sweep-line invariant -- NOT
+    n^2; skewed hot keys fall under AQE skew-join handling like every
+    other keyed shuffle in the engine. No collect(), no per-group arrays:
+    the island merge is windows + aggregates only, so a slab with a huge
+    active set still streams through sort-based aggregation.
+    """
+    from pyspark.sql import Window
+
+    k, x0, y0, x1, y1 = key_col, xmin, ymin, xmax, ymax
+    xs = (rects.select(k, F.col(x0).alias("__x"))
+          .union(rects.select(k, F.col(x1).alias("__x")))
+          .distinct())
+    wk = Window.partitionBy(k).orderBy("__x")
+    slabs = (xs.withColumn("__x_hi", F.lead("__x").over(wk))
+             .where(F.col("__x_hi").isNotNull())
+             .select(k, F.col("__x").alias("__x_lo"), "__x_hi"))
+    r = rects.select(F.col(k).alias("__rk"), F.col(x0).alias("__rx0"),
+                     F.col(y0).alias("__ymin"), F.col(x1).alias("__rx1"),
+                     F.col(y1).alias("__ymax"))
+    active = (slabs.join(r, (F.col(k) == F.col("__rk"))
+                         & (F.col("__rx0") <= F.col("__x_lo"))
+                         & (F.col("__rx1") >= F.col("__x_hi")))
+              .select(F.col(k).alias("__k"), "__x_lo", "__x_hi",
+                      "__ymin", "__ymax"))
+    ws = (Window.partitionBy("__k", "__x_lo")
+          .orderBy("__ymin", "__ymax")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy("__k", "__x_lo")
+            .orderBy("__ymin", "__ymax")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    flagged = (active
+               .withColumn("__prev_max", F.max("__ymax").over(ws))
+               .withColumn("__new_island",
+                           F.when(F.col("__prev_max").isNull()
+                                  | (F.col("__ymin") > F.col("__prev_max")),
+                                  F.lit(1)).otherwise(F.lit(0)))
+               .withColumn("__island", F.sum("__new_island").over(wrun)))
+    islands = (flagged.groupBy("__k", "__x_lo", "__x_hi", "__island")
+               .agg((F.max("__ymax") - F.min("__ymin")).alias("__len")))
+    return (islands
+            .groupBy("__k")
+            .agg(F.sum(F.col("__len")
+                       * (F.col("__x_hi") - F.col("__x_lo")))
+                 .alias("union_area"))
+            .select(F.col("__k").alias(key_col), "union_area"))
+
+
+def union_area_oracle_sql(rects_cte: str, key_col: str = "key") -> str:
+    """DuckDB replay of union_area: the identical slab decomposition,
+    gaps-and-islands merge and integer sums over a rects CTE providing
+    ({key_col}, xmin, ymin, xmax, ymax) as BIGINTs. Bit-exact: integer
+    arithmetic only."""
+    return f"""
+WITH __rects AS ({rects_cte}),
+__xs AS (
+  SELECT DISTINCT {key_col} AS k, x FROM (
+    SELECT {key_col}, xmin AS x FROM __rects
+    UNION ALL SELECT {key_col}, xmax FROM __rects)),
+__slabs AS (
+  SELECT k, x AS x_lo, LEAD(x) OVER (PARTITION BY k ORDER BY x) AS x_hi
+  FROM __xs),
+__active AS (
+  SELECT s.k, s.x_lo, s.x_hi, r.ymin, r.ymax
+  FROM (SELECT * FROM __slabs WHERE x_hi IS NOT NULL) s
+  JOIN __rects r ON r.{key_col} = s.k
+               AND r.xmin <= s.x_lo AND r.xmax >= s.x_hi),
+__flagged AS (
+  SELECT k, x_lo, x_hi, ymin, ymax,
+         CASE WHEN MAX(ymax) OVER (
+                PARTITION BY k, x_lo ORDER BY ymin, ymax
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR ymin > MAX(ymax) OVER (
+                PARTITION BY k, x_lo ORDER BY ymin, ymax
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM __active),
+__islands AS (
+  SELECT k, x_lo, x_hi,
+         SUM(new_island) OVER (
+           PARTITION BY k, x_lo ORDER BY ymin, ymax
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+         ymin, ymax
+  FROM __flagged),
+__merged AS (
+  SELECT k, x_lo, x_hi, island,
+         MAX(ymax) - MIN(ymin) AS len
+  FROM __islands GROUP BY k, x_lo, x_hi, island)
+SELECT k AS {key_col},
+       CAST(SUM(len * (x_hi - x_lo)) AS BIGINT) AS union_area
+FROM __merged GROUP BY k"""

@@ -136,6 +136,27 @@ def join_event_streams(left: DataFrame, right: DataFrame, key_col: str,
     return l2.join(r2, cond, "inner")
 
 
+def enrich_stream_static(stream: DataFrame, dim: DataFrame,
+                         key_left: str, key_right: str,
+                         how: str = "left") -> DataFrame:
+    """STREAM-STATIC enrichment join: each streaming row picks up the
+    attributes of its dimension row (the lookup shape every event pipeline
+    needs -- user -> account, page -> site, ip -> geo). The static side is
+    explicitly ``F.broadcast``-hinted: at stream scale the dimension is
+    always the small side, and broadcasting it means the unbounded stream
+    NEVER shuffles for the join -- each micro-batch probes an executor-
+    local hash map. A shuffle-based plan here would re-exchange every
+    micro-batch forever, the quiet scale-killer of naive enrichment.
+
+    ``how='left'`` keeps stream rows with no dimension match (nulls), the
+    robust enrichment default; Spark supports stream-left/static-right
+    left-outer natively and stateless-ly (no watermark needed -- the
+    static side never changes mid-query, it is re-read per micro-batch
+    only if the plan demands)."""
+    return stream.join(F.broadcast(dim),
+                       stream[key_left] == dim[key_right], how)
+
+
 def dedup_stream(stream: DataFrame, key_cols: list[str],
                  ts_col: str = "ts",
                  watermark: str = "2 hours") -> DataFrame:

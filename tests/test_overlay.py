@@ -191,3 +191,55 @@ def test_clip_area_commutes_for_convex_pairs():
             [p[0] for p in h2], [p[1] for p in h2],
             [p[0] for p in h1], [p[1] for p in h1]))
         assert a1 == pytest.approx(a2, rel=1e-9, abs=1e-12)
+
+
+def test_union_area_matches_pixel_bruteforce(spark):
+    """union_area vs exhaustive pixel counting on small integer rects
+    (unit-cell coverage IS the union area for integer coordinates), plus
+    hand cases: disjoint, nested, partial overlap, exact duplicates."""
+    from spatial.overlay import union_area
+
+    hand = [
+        # key 0: two disjoint 2x2 squares -> 8
+        (0, 0, 0, 2, 2), (0, 10, 10, 12, 12),
+        # key 1: nested (big 10x10 contains small) -> 100
+        (1, 0, 0, 10, 10), (1, 2, 2, 5, 5),
+        # key 2: partial overlap 4x4 + 4x4 shifted by 2 -> 16+16-4 = 28
+        (2, 0, 0, 4, 4), (2, 2, 2, 6, 6),
+        # key 3: exact duplicates -> counted once, 9
+        (3, 1, 1, 4, 4), (3, 1, 1, 4, 4),
+    ]
+    rng = np.random.default_rng(41)
+    rand = []
+    for i in range(120):
+        x0, y0 = int(rng.integers(0, 60)), int(rng.integers(0, 60))
+        rand.append((4 + i % 3, x0, y0,
+                     x0 + int(rng.integers(1, 14)),
+                     y0 + int(rng.integers(1, 14))))
+    rows = hand + rand
+    df = spark.createDataFrame(
+        rows, "key long, xmin long, ymin long, xmax long, ymax long")
+    got = {r["key"]: r["union_area"]
+           for r in union_area(df, "key").collect()}
+
+    want: dict = {}
+    for key in sorted({r[0] for r in rows}):
+        grid = np.zeros((80, 80), dtype=bool)
+        for k, x0, y0, x1, y1 in rows:
+            if k == key:
+                grid[x0:x1, y0:y1] = True
+        want[key] = int(grid.sum())
+    assert got == want
+    assert got[0] == 8 and got[1] == 100 and got[2] == 28 and got[3] == 9
+
+    # DuckDB oracle replay on the same rows: bit-identical integers
+    import duckdb
+
+    from spatial.overlay import union_area_oracle_sql
+
+    vals = ",".join(f"({k},{a},{b},{c},{d})" for k, a, b, c, d in rows)
+    cte = ("SELECT * FROM (VALUES " + vals
+           + ") AS t(key, xmin, ymin, xmax, ymax)")
+    ora = {r[0]: r[1]
+           for r in duckdb.sql(union_area_oracle_sql(cte, "key")).fetchall()}
+    assert ora == want

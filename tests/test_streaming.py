@@ -68,6 +68,42 @@ def test_sessionize_stream(spark, pages_dir, tmp_path):
     assert all(r["session_end"] >= r["session_start"] for r in rows)
 
 
+def test_stream_static_enrich_matches_batch_left_join(spark, tmp_path):
+    """Stream-static broadcast enrichment across several real micro-batches:
+    result equals the batch LEFT join (unmatched keys survive with nulls),
+    and the static side is broadcast (no stream-side exchange for the
+    join)."""
+    from spatial.streaming import enrich_stream_static, run_available_now
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+              .select("event_id", "user_id")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [(u, f"seg_{u % 3}") for u in range(0, 100, 2)],  # odd users unmatched
+        "ukey long, segment string")
+
+    # plan shape: the same function on the batch frame must broadcast the dim
+    batch_join = enrich_stream_static(ev, dim, "user_id", "ukey")
+    plan = batch_join._sc._jvm.PythonSQLUtils.explainString(
+        batch_join._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    out = enrich_stream_static(stream, dim, "user_id", "ukey") \
+        .select("event_id", "user_id", "segment")
+    run_available_now(out, str(tmp_path / "ckpt_enrich"), "enrich_stream",
+                      output_mode="append")
+    got = {(r["event_id"], r["user_id"], r["segment"])
+           for r in spark.table("enrich_stream").collect()}
+    want = {(r["event_id"], r["user_id"], r["segment"])
+            for r in batch_join.select("event_id", "user_id",
+                                       "segment").collect()}
+    assert got == want
+    assert any(seg is None for _, _, seg in got)  # left-join null path hit
+
+
 def test_stateful_running_totals_matches_batch(spark, tmp_path):
     """applyInPandasWithState custom operator: state carried across several
     real micro-batches; final per-key total == batch groupBy count."""
