@@ -41,6 +41,19 @@ def build_spark(cpus: int, event_dir: str):
         .appName("spatial-stress")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # scaling-measurement validity: AUTO broadcast conversions flip
+        # per-join at data-size-dependent thresholds, so two corpus scales
+        # can silently execute DIFFERENT physical plans and the growth
+        # ratio then prices a plan change, not the algorithm (measured:
+        # the dedup chain's sig/text re-attach joins broadcast at 1x and
+        # partially at 4x, shuffle at 10x -> within-regime byte growth
+        # read 2.2x per doc). Disable both planner and AQE auto
+        # thresholds; EXPLICIT broadcast() hints (true dims: region list,
+        # batch side of incremental dedup, hot-cell top-k) are unaffected
+        # -- exactly the 100 TB semantics, where only hinted dims ever
+        # broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -93,12 +106,19 @@ def scaled_docs(spark, scale: int, width: int = 2):
       (4.7x candidate shuffle for 2.5x docs) and the decontam guard's
       dropped-window fraction grew 0.12 -> 0.30, collapsing planted
       pairs to 180.
-    The fix: tokens are 'first-3-chars-of-word + _ + 8-hex-md5(family)',
-    so the longest salt-free char run is 5 (' abc_') < k=5..8 -- every
-    window carries >= 3 salt hex chars, df <= ~families/16^3 (about 12
-    at 50k families; valid to ~400k families, lengthen the salt share
-    beyond), cross-family jaccard ~ 0, and both the df distribution and
-    the candidate-pair volume scale linearly by construction."""
+    * first-3-chars + 8-hex-md5 salt -- every window carries >= 3 salt
+      hex chars, which LOOKS safe (df <= ~families/4096, about 12 at 50k
+      families) but the containment-join output is sum over shingles of
+      df_test * df_train: BOTH factors grow ~n/4096 below the max_df
+      cap, so candidate rows grow ~n^2/4096 -- measured 3.84x shuffle
+      records for 2.5x docs at pinned physical plans. A small df is not
+      enough; the PRODUCT of the two sides' df must stay O(1).
+    The fix: tokens are 'first-2-chars-of-word + _ + 10-hex-md5(family)'
+    -- the worst window ('789 ab_0') still carries >= 4 salt hex chars,
+    so cross-family collision df <= ~families/16^4 (~1.5 at 100k docs,
+    valid to ~6M families; lengthen the salt share beyond), cross-family
+    jaccard ~ 0, and candidate-pair volume scales linearly by
+    construction."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet") \
@@ -107,12 +127,12 @@ def scaled_docs(spark, scale: int, width: int = 2):
     fam = (docs.select("doc_id", "text", rep)
            .select((F.col("doc_id") * scale + F.col("rep"))
                    .alias("family_id"), "text"))
-    salt = F.substring(F.md5(F.col("family_id").cast("string")), 1, 8)
+    salt = F.substring(F.md5(F.col("family_id").cast("string")), 1, 10)
     salted = fam.select(
         "family_id",
         F.array_join(
             F.transform(F.split(F.col("text"), " "),
-                        lambda t: F.concat(F.substring(t, 1, 3),
+                        lambda t: F.concat(F.substring(t, 1, 2),
                                            F.lit("_"), salt)),
             " ").alias("text"))
     c = F.explode(F.sequence(F.lit(0), F.lit(width - 1))).alias("copy")
@@ -180,12 +200,15 @@ def run_ops(spark, n_pages: int, scale: int) -> dict:
             enrich_pages(pg, 12), x_col="lon", y_col="lat").count())
     pages_1x.unpersist(), pages_10x.unpersist()
 
-    # three scales, not two: 1x -> 10x crosses the 10MB auto-broadcast
-    # threshold (signature/text join sides flip from broadcast to shuffle
-    # joins between 10k and 100k docs), so that ratio alone reads as
-    # superlinear when it is a one-time plan-regime step. The mid point
-    # (4x by default) sits in the SAME shuffle-join regime as 10x, so
-    # mid->10x is the within-regime growth evidence.
+    # three scales, not two: with auto-broadcast disabled (build_spark)
+    # every scale runs the identical shuffle-join plan, so BOTH ratios are
+    # valid growth evidence; the mid point (4x by default) additionally
+    # guards against any residual scale-dependent plan change (if
+    # 1x->mid and mid->10x disagree per-doc, something still flipped).
+    # Before the threshold fix, the sig/text re-attach joins broadcast at
+    # 1x/4x but sort-merged at 10x, inflating the 10x shuffle rows by the
+    # re-attached corpus -- measured 5.85x records for 2.5x docs; the
+    # growth then priced a plan flip, not the algorithm.
     mid = max(2, scale * 2 // 5)
     d1 = scaled_docs(spark, 1).persist()
     d1.count()
@@ -195,24 +218,43 @@ def run_ops(spark, n_pages: int, scale: int) -> dict:
     d10.count()
 
     def dedup_chain(d):
-        pairs = minhash_dedup_pairs(d, threshold=0.7, num_perm=64, bands=16)
+        # shingle_k=8 NOT the engine default 5: the salt invariant above
+        # holds per-window only for k >= 8 (a k=5 window like '9 ab_'
+        # carries ONE salt hex char, so replicas of the same base doc
+        # still LSH-collide -- measured: candidate pairs 984,660 at 10x
+        # ~= 5000 bases x C(20,2), i.e. ALL within-base pairs, growing
+        # with scale^2). k=5 stays the right default for real text; the
+        # SYNTH corpus's determinism contract is salt-domination, which
+        # prescribes its window size.
+        pairs = minhash_dedup_pairs(d, threshold=0.7, num_perm=64,
+                                    bands=16, shingle_k=8)
         return connected_components(pairs).count()
 
     op("dedup_chain_1x", lambda: dedup_chain(d1))
     op("dedup_chain_midx", lambda: dedup_chain(dmid))
     op("dedup_chain_10x", lambda: dedup_chain(d10))
 
-    def decontam(d):
+    def decontam(d, s):
+        # PRODUCTION SHAPE: the eval/test set is FIXED-SIZE (a benchmark
+        # suite does not grow with the training corpus) while train
+        # scales -- doc_id % (2*s) == 1 picks the copy-1 member of one
+        # family per base doc, i.e. exactly 5000 test docs at EVERY
+        # scale. The operator's documented fan-out bound (join rows <=
+        # |test shingles| * max_df) is then a constant across scales and
+        # the measured growth prices the train-side aggregates/joins
+        # only, which is the claim. (Scaling BOTH sides multiplies the
+        # bound itself -- a different, quadratic-by-contract experiment.)
+        test = d.where(F.col("doc_id") % (2 * s) == 1)
         train = (d.where(F.col("doc_id") % 2 == 0)
                  .withColumn("doc_id", F.col("doc_id") + 100_000_000)
                  .withColumn("text", F.concat(F.col("text"),
                                               F.lit(" extra trailing tokens"))))
-        return contamination_pairs(d, train, threshold=0.8,
+        return contamination_pairs(test, train, threshold=0.8,
                                    shingle_k=8, max_df=100).count()
 
-    op("decontaminate_1x", lambda: decontam(d1))
-    op("decontaminate_midx", lambda: decontam(dmid))
-    op("decontaminate_10x", lambda: decontam(d10))
+    op("decontaminate_1x", lambda: decontam(d1, 1))
+    op("decontaminate_midx", lambda: decontam(dmid, mid))
+    op("decontaminate_10x", lambda: decontam(d10, scale))
     d1.unpersist()
     dmid.unpersist()
     d10.unpersist()
@@ -243,6 +285,7 @@ def parse_event_log(event_dir: str) -> dict:
         "internal.metrics.shuffle.read.localBytesRead": "shuffle_read_bytes",
         "internal.metrics.shuffle.read.remoteBytesRead": "shuffle_read_bytes",
         "internal.metrics.shuffle.write.bytesWritten": "shuffle_write_bytes",
+        "internal.metrics.shuffle.write.recordsWritten": "shuffle_write_records",
         "internal.metrics.input.bytesRead": "input_bytes",
     }
     for path in files:
@@ -263,6 +306,7 @@ def parse_event_log(event_dir: str) -> dict:
                     grp = stage_group.get(info.get("Stage ID"), "ungrouped")
                     slot = agg.setdefault(grp, {
                         "shuffle_read_bytes": 0, "shuffle_write_bytes": 0,
+                        "shuffle_write_records": 0,
                         "input_bytes": 0, "n_stages": 0})
                     slot["n_stages"] += 1
                     for acc in info.get("Accumulables", []):
@@ -299,21 +343,26 @@ def main():
 
     report["growth_10x_over_1x"] = {
         "flagship": {k: growth("flagship_1x", "flagship_10x", k)
-                     for k in ("sec", "shuffle_write_bytes", "input_bytes")},
+                     for k in ("sec", "shuffle_write_bytes",
+                               "shuffle_write_records", "input_bytes")},
         "dedup_chain": {k: growth("dedup_chain_1x", "dedup_chain_10x", k)
-                        for k in ("sec", "shuffle_write_bytes")},
+                        for k in ("sec", "shuffle_write_bytes",
+                                  "shuffle_write_records")},
         "decontaminate": {k: growth("decontaminate_1x", "decontaminate_10x", k)
-                          for k in ("sec", "shuffle_write_bytes")},
+                          for k in ("sec", "shuffle_write_bytes",
+                                  "shuffle_write_records")},
     }
     # within-regime pair: mid and 10x are both past the broadcast->shuffle
     # flip, so THIS ratio is the linearity evidence (docs ratio =
     # doc_scale / doc_scale_mid, 2.5 at defaults)
     report["growth_10x_over_midx"] = {
         "dedup_chain": {k: growth("dedup_chain_midx", "dedup_chain_10x", k)
-                        for k in ("sec", "shuffle_write_bytes")},
+                        for k in ("sec", "shuffle_write_bytes",
+                                  "shuffle_write_records")},
         "decontaminate": {k: growth("decontaminate_midx",
                                     "decontaminate_10x", k)
-                          for k in ("sec", "shuffle_write_bytes")},
+                          for k in ("sec", "shuffle_write_bytes",
+                                  "shuffle_write_records")},
     }
     report["n_pages"] = n_pages
     report["doc_scale"] = scale
