@@ -1370,6 +1370,27 @@ def q_union_area(spark, sf_dir):
     return ua.join(gross, "key").select("key", "union_area", "gross_area")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """CAPSTONE composition -- the full training-corpus curation pipeline
+    as one lazy program (curation.curation_pipeline): MinHash near-dup
+    removal (keep = component min), integer token-length filter (Gopher
+    cut, [20, 90] on this corpus), eval-set decontamination (identical
+    planted eval docs must knock out their crawled copies), leakage-free
+    component-hash split, per-split doc/token totals. Corpus = documents
+    + planted ' tail' twins (the verified dedup fixture); eval set = every
+    97th base doc at id+2e6. Every stage is an already-oracled operator;
+    this query pins the COMPOSITION end-to-end (3 rows, all BIGINTs)."""
+    from spatial.datapipe.curation import curation_pipeline
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    twins = d.withColumn("doc_id", F.col("doc_id") + 1_000_000) \
+             .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    corpus = d.union(twins)
+    eval_df = (d.where(F.col("doc_id") % 97 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    return curation_pipeline(corpus, eval_df)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER resolution: the verified MinHash pair graph (same
     construction as q_minhash_pairs) resolved to connected components by
@@ -2628,26 +2649,26 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order IS the driver's correctness-file order; the driver
     # records ~the first 50 entries. Round-4 rotation (VERDICT r3 task #1):
-    # entries 1-5 are pinned flagship sentinels (every strategy/family with
-    # a scale-critical code path stays driver-proven each round), 6-12 the
+    # entries 1-4 are pinned flagship sentinels (every strategy/family with
+    # a scale-critical code path stays driver-proven each round), 5-12 the
     # round-4 span-dedup/winnowing/LM-score/leakage-split/stream-enrich/
-    # union-area family (never recorded before -- new this round), 13-15
-    # the other round-4 additions (polygon overlay join, convex clip area,
-    # late-data watermark eviction), 16-50 the
+    # union-area/curation-pipeline family (never recorded before -- new
+    # this round), 13-15 the other round-4 additions (polygon overlay
+    # join, convex clip area, late-data watermark eviction), 16-50 the
     # 35 queries that had never appeared in any CORRECTNESS_r{1,2,3}.json
-    # -- with this window every one of the 129 queries has a
+    # -- with this window every one of the 130 queries has a
     # driver-recorded green row in some round (cumulative driver-proven =
-    # 129/129; the seven sentinels displaced by the new family --
+    # 130/130; the eight sentinels displaced by the new family --
     # geocode_rollup, s2_cell_rollup, geom_collection, simhash_pairs,
-    # embedding_dups, multimodal_features, ann_ivf -- were recorded green
-    # in r1-r3 and moved to 51+). 51+ were all recorded green in r1-r3
-    # under earlier orderings and remain pytest-oracle-verified by
-    # tests/test_entry_contract.py's full 129-query replay.
+    # embedding_dups, multimodal_features, ann_ivf, knn_distributed --
+    # were recorded green in r1-r3 and moved to 51+). 51+ were all
+    # recorded green in r1-r3 under earlier orderings and remain
+    # pytest-oracle-verified by tests/test_entry_contract.py's full
+    # 130-query replay.
     return {
         "q_spatial_join_pages": q_spatial_join_pages,
         "q_spatial_join_salted": q_spatial_join_salted,
         "q_knn_grid": q_knn_grid,
-        "q_knn_distributed": q_knn_distributed,
         "q_minhash_pairs": q_minhash_pairs,
         "q_span_dedup": q_span_dedup,
         "q_span_dedup_clean": q_span_dedup_clean,
@@ -2656,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_split": q_cluster_split,
         "q_stream_enrich": q_stream_enrich,
         "q_union_area": q_union_area,
+        "q_curation_pipeline": q_curation_pipeline,
         "q_spatial_join_regions": q_spatial_join_regions,
         "q_intersection_area": q_intersection_area,
         "q_stream_late": q_stream_late,
@@ -2702,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dups": q_embedding_dups,
         "q_multimodal_features": q_multimodal_features,
         "q_ann_ivf": q_ann_ivf,
+        "q_knn_distributed": q_knn_distributed,
         "q_spatial_join_left": q_spatial_join_left,
         "q_sqlapi_funcs": q_sqlapi_funcs,
         "q_stream_stateful": q_stream_stateful,
@@ -2893,6 +2916,46 @@ def _cluster_split_oracle() -> str:
     docs_cte = """SELECT doc_id FROM documents
       UNION ALL SELECT doc_id + 1000000 AS doc_id FROM documents"""
     return leakage_free_split_oracle_sql(docs_cte, _minhash_oracle())
+
+
+def _curation_pipeline_oracle() -> str:
+    from spatial.datapipe.cluster import connected_components_oracle_sql
+    from spatial.datapipe.curation import sample_bucket_sql
+    from spatial.datapipe.decontam import contamination_oracle_sql
+
+    n_tok = ("LEN(list_filter(string_split_regex(TRIM(LOWER(text)), "
+             "'\\s+'), x -> x <> ''))")
+    cont_docs = """SELECT id, text FROM __qual
+      UNION ALL SELECT doc_id + 2000000 AS id, text
+      FROM documents WHERE doc_id % 97 = 0"""
+    cont = contamination_oracle_sql(cont_docs, "id >= 2000000",
+                                    "id < 2000000", threshold=0.8,
+                                    shingle_k=8, max_df=100)
+    bucket = sample_bucket_sql("cluster_id")
+    return connected_components_oracle_sql(_minhash_oracle()) + f"""
+, __corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000 AS id, text || ' tail' AS text
+    FROM documents),
+__assigned AS (
+    SELECT c.id, c.text, COALESCE(m.cluster_id, c.id) AS cluster_id
+    FROM __corpus c LEFT JOIN __cc m USING (id)),
+__kept AS (SELECT * FROM __assigned WHERE id = cluster_id),
+__qual AS (
+    SELECT id, text, cluster_id, CAST({n_tok} AS BIGINT) AS n_tokens
+    FROM __kept
+    WHERE {n_tok} BETWEEN 20 AND 90),
+__cont AS (SELECT DISTINCT train_id FROM ({cont})),
+__clean AS (
+    SELECT q.* FROM __qual q
+    LEFT JOIN __cont c ON q.id = c.train_id
+    WHERE c.train_id IS NULL)
+SELECT CASE WHEN {bucket} < 9000 THEN 'train'
+            WHEN {bucket} < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM __clean GROUP BY 1"""
 
 
 def _union_area_oracle() -> str:
@@ -3932,6 +3995,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lm_score": _lm_score_oracle(),
         "q_cluster_split": _cluster_split_oracle(),
         "q_union_area": _union_area_oracle(),
+        "q_curation_pipeline": _curation_pipeline_oracle(),
         "q_approx_distinct": _approx_distinct_oracle(),
         "q_interval_join": """
             WITH c AS (SELECT event_id AS click_id, user_id,

@@ -163,3 +163,74 @@ def weighted_sample(df: DataFrame, weight: Column,
         df.withColumn("bucket", sample_bucket(F.col(id_col)))
         .where(F.col("bucket") < weight)
     )
+
+
+def curation_pipeline(docs: DataFrame, eval_df: DataFrame, *,
+                      minhash_threshold: float = 0.7, num_perm: int = 64,
+                      bands: int = 16, dedup_shingle_k: int = 5,
+                      min_tokens: int = 20, max_tokens: int = 90,
+                      decontam_threshold: float = 0.8, shingle_k: int = 8,
+                      max_df: int = 100, cuts: tuple[int, int] = (9000, 9500),
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """END-TO-END training-corpus curation: the composed pipeline a user of
+    this engine actually runs, as ONE lazy DataFrame program --
+
+        near-dup removal  (MinHash LSH pairs -> connected components,
+                           keep = component-min doc)
+      -> length filter    (token_count in [min_tokens, max_tokens] --
+                           integer bounds, the Gopher-style cut, chosen
+                           integer-exact so no float threshold can sit on
+                           a rounding boundary)
+      -> decontamination  (drop any surviving doc that >=80%-contains an
+                           eval-set document's shingles)
+      -> leakage-free split (split = hash of the near-dup COMPONENT id,
+                           so residual dup partners can never straddle
+                           the train/eval boundary)
+      -> per-split corpus stats (doc + token counts, exact BIGINTs).
+
+    Every stage is an already-oracled operator; the composition is itself
+    exactly SQL-replayable (the driver query q_curation_pipeline pins the
+    full five-stage result). Scale shape: each stage's 100 TB argument is
+    its module's (dedup.py / cluster.py / decontam.py / curation.py);
+    composition adds NO new shuffle beyond its stages -- the component map
+    and contaminated-id list ride broadcast-sized joins onto the corpus,
+    and stats are one map-side-combined aggregate."""
+    from .cluster import dedup_assign
+    from .decontam import contamination_pairs
+    from .dedup import minhash_dedup_pairs
+    from .textstats import token_count
+
+    # dedup_shingle_k (near-dup detection, word-scale 5) is deliberately
+    # independent of shingle_k (decontamination containment, 8): the two
+    # stages answer different questions and the driver oracle composes the
+    # SAME ks.
+    pairs = minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col,
+                                threshold=minhash_threshold,
+                                num_perm=num_perm, bands=bands,
+                                shingle_k=dedup_shingle_k)
+    assigned = dedup_assign(docs.select(id_col, text_col), pairs,
+                            id_col=id_col)
+    kept = assigned.where(F.col("keep"))
+    qual = (kept.withColumn("__n_tokens",
+                            token_count(F.col(text_col)).cast("long"))
+            .where((F.col("__n_tokens") >= min_tokens)
+                   & (F.col("__n_tokens") <= max_tokens)))
+    cont = contamination_pairs(eval_df, qual,
+                               threshold=decontam_threshold,
+                               shingle_k=shingle_k, max_df=max_df,
+                               id_col=id_col, text_col=text_col)
+    clean = qual.join(
+        cont.select(F.col("train_id").alias(id_col)).distinct(),
+        id_col, "left_anti")
+    lo, hi = cuts
+    b = sample_bucket(F.col("cluster_id"))
+    return (clean
+            .withColumn("split",
+                        F.when(b < lo, F.lit("train"))
+                         .when(b < hi, F.lit("val"))
+                         .otherwise(F.lit("test")))
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("__n_tokens").alias("n_tokens"))
+            .select("split", "n_docs", "n_tokens"))
