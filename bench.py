@@ -295,6 +295,29 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
     timed("lm_score",
           lambda: lm_score(d_txt)
           .agg(F.sum("nll_micro")).collect()[0][0])
+    from spatial.overlay import union_area
+    # span scales with row count so local overlap DENSITY stays constant
+    # (~7 active rects per slab, the bounded-density regime real bbox
+    # corpora live in -- the sweep's work is O(n x density); a fixed span
+    # would make density, hence total work, grow quadratically with sf)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    span = max(100000, (orders.count() // 15000) * 400000)
+    kk = F.col("k")
+    rects = (orders
+             .select(F.col("o_orderkey").cast("long").alias("k"))
+             .select((kk % 8).alias("key"),
+                     ((kk * 48271) % span).alias("xmin"),
+                     # ymin mixes k NONLINEARLY (k^2): both coords linear
+                     # in k form a 1-D lattice mod span -> zero overlaps at
+                     # large spans and the merge path idles; k^2 scatters
+                     ((kk * kk * 69621) % span).alias("ymin"),
+                     ((kk * 48271) % span + (kk * 16807) % 3000 + 1)
+                     .alias("xmax"),
+                     ((kk * kk * 69621) % span + (kk * 39916801) % 3000 + 1)
+                     .alias("ymax")))
+    timed("union_area",
+          lambda: union_area(rects, "key")
+          .agg(F.sum("union_area")).collect()[0][0])
 
     total = round(sum(timings.values()), 3)
     return {

@@ -441,7 +441,8 @@ FROM {src}"""
 
 def union_area(rects: DataFrame, key_col: str = "key",
                xmin: str = "xmin", ymin: str = "ymin",
-               xmax: str = "xmax", ymax: str = "ymax") -> DataFrame:
+               xmax: str = "xmax", ymax: str = "ymax",
+               bucket_width: int = 4096) -> DataFrame:
     """Exact UNION AREA of axis-aligned rectangles per key (round-3 verdict
     gap #2, the ST_Union-area half of overlay algebra, on the rectangle
     subalgebra where web-scale exactness is attainable): overlapping page /
@@ -462,28 +463,43 @@ def union_area(rects: DataFrame, key_col: str = "key",
 
     Scale shape (100 TB): everything shuffles by (key) or (key, slab) --
     the natural partitioning when key is a region/tile id, the same
-    pre-partitioning the spatial join uses. Rows after the slab join =
-    sum over slabs of the slab's ACTIVE SET (rectangles crossing it):
-    bounded by local overlap density x n, the sweep-line invariant -- NOT
-    n^2; skewed hot keys fall under AQE skew-join handling like every
-    other keyed shuffle in the engine. No collect(), no per-group arrays:
-    the island merge is windows + aggregates only, so a slab with a huge
-    active set still streams through sort-based aggregation.
+    pre-partitioning the spatial join uses. The slab join is an EQUI-join
+    on (key, x-bucket): each slab keys on floor(x_lo / bucket_width), each
+    rectangle explodes to every bucket its x-extent intersects (a rect
+    covering a slab always covers the slab's x_lo bucket, so the match is
+    exact and each slab matches in exactly one bucket -- no dedup needed).
+    Without the bucket term the join has only `key` as its equi-component
+    and Spark nest-loops within keys: measured 110 s at 150k rects over 8
+    keys vs ~3 s bucketed -- the quiet quasi-cartesian this operator must
+    not ship. Rows after the join = sum over slabs of the slab's bucket
+    CANDIDATE set (>= active set by at most the width/bucket_width
+    overhang): bounded by local overlap density x n, the sweep-line
+    invariant -- NOT n^2; pick bucket_width >= the typical rectangle width
+    (explode factor = width/bucket_width + 1). Skewed hot keys fall under
+    AQE skew-join handling like every other keyed shuffle in the engine.
+    No collect(), no per-group arrays: the island merge is windows +
+    aggregates only, so a slab with a huge active set still streams
+    through sort-based aggregation.
     """
     from pyspark.sql import Window
 
     k, x0, y0, x1, y1 = key_col, xmin, ymin, xmax, ymax
+    bw = int(bucket_width)
     xs = (rects.select(k, F.col(x0).alias("__x"))
           .union(rects.select(k, F.col(x1).alias("__x")))
           .distinct())
     wk = Window.partitionBy(k).orderBy("__x")
     slabs = (xs.withColumn("__x_hi", F.lead("__x").over(wk))
              .where(F.col("__x_hi").isNotNull())
-             .select(k, F.col("__x").alias("__x_lo"), "__x_hi"))
-    r = rects.select(F.col(k).alias("__rk"), F.col(x0).alias("__rx0"),
-                     F.col(y0).alias("__ymin"), F.col(x1).alias("__rx1"),
-                     F.col(y1).alias("__ymax"))
+             .select(k, F.col("__x").alias("__x_lo"), "__x_hi")
+             .withColumn("__b", F.floor(F.col("__x_lo") / bw)))
+    r = (rects.select(F.col(k).alias("__rk"), F.col(x0).alias("__rx0"),
+                      F.col(y0).alias("__ymin"), F.col(x1).alias("__rx1"),
+                      F.col(y1).alias("__ymax"))
+         .withColumn("__b", F.explode(F.sequence(
+             F.floor(F.col("__rx0") / bw), F.floor(F.col("__rx1") / bw)))))
     active = (slabs.join(r, (F.col(k) == F.col("__rk"))
+                         & (slabs["__b"] == r["__b"])
                          & (F.col("__rx0") <= F.col("__x_lo"))
                          & (F.col("__rx1") >= F.col("__x_hi")))
               .select(F.col(k).alias("__k"), "__x_lo", "__x_hi",
