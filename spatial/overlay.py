@@ -570,3 +570,183 @@ __merged AS (
 SELECT k AS {key_col},
        CAST(SUM(len * (x_hi - x_lo)) AS BIGINT) AS union_area
 FROM __merged GROUP BY k"""
+
+
+# ---------------------------------------------------------------------------
+# general (concave, holed) polygon intersection area
+# ---------------------------------------------------------------------------
+
+
+def triangulate_ring(xs, ys):
+    """Deterministic ear-clipping triangulation of one SIMPLE closed ring:
+    returns a list of ((x0,y0),(x1,y1),(x2,y2)) CCW triangles that
+    partition the ring's interior. The ring is CCW-normalized first;
+    each step clips the LOWEST-INDEX valid ear (strictly convex corner
+    whose triangle contains no other remaining vertex), so the output
+    order is a pure function of the input -- the oracle renderer calls
+    this same function to emit its VALUES, so determinism here IS the
+    cross-engine contract. O(n^2); rings are polygon-sized, not
+    corpus-sized."""
+    verts = list(zip([float(v) for v in xs[:-1]],
+                     [float(v) for v in ys[:-1]]))
+    n = len(verts)
+    if n < 3:
+        return []
+    s = 0.0
+    for i in range(n):
+        x0, y0 = verts[i]
+        x1, y1 = verts[(i + 1) % n]
+        s += x0 * y1 - x1 * y0
+    if s < 0.0:
+        verts.reverse()
+
+    def _cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def _in_tri(p, a, b, c):
+        # inclusive: boundary points block the ear (safe for touching)
+        return (_cross(a, b, p) >= 0.0 and _cross(b, c, p) >= 0.0
+                and _cross(c, a, p) >= 0.0)
+
+    tris = []
+    while len(verts) > 3:
+        n = len(verts)
+        clipped = False
+        for i in range(n):
+            a, b, c = verts[i - 1], verts[i], verts[(i + 1) % n]
+            if _cross(a, b, c) <= 0.0:
+                continue  # reflex or collinear corner: not an ear
+            if any(_in_tri(p, a, b, c) for j, p in enumerate(verts)
+                   if p is not a and p is not b and p is not c):
+                continue
+            tris.append((a, b, c))
+            del verts[i]
+            clipped = True
+            break
+        if not clipped:
+            # numerically degenerate remainder (collinear sliver): its
+            # area is ~0; clip blindly so termination is guaranteed
+            tris.append((verts[0], verts[1], verts[2]))
+            del verts[1]
+    tris.append((verts[0], verts[1], verts[2]))
+    return tris
+
+
+def _signed_tris(geom_row):
+    """(sign, triangle) list for one geometry struct row: ring 0 of each
+    part is outer (+1), subsequent rings are holes (-1) -- the even-odd
+    signed-indicator decomposition area(A) = sum sigma_r * area(ring_r),
+    which turns intersection area into a signed sum over ring pairs."""
+    xs, ys = geom_row["xs"], geom_row["ys"]
+    ro = [int(o) for o in geom_row["ring_offsets"]]
+    po = set(int(o) for o in geom_row["part_offsets"][:-1])
+    out = []
+    for r in range(len(ro) - 1):
+        ring_xs, ring_ys = xs[ro[r]:ro[r + 1]], ys[ro[r]:ro[r + 1]]
+        sign = 1 if r in po else -1
+        for t in triangulate_ring(ring_xs, ring_ys):
+            out.append((sign, t))
+    return out
+
+
+def _tri_pair_area_micro(ta, tb):
+    """Micronat-quantized area of the intersection of two CCW triangles:
+    the 3-edge Sutherland-Hodgman clip (identical expression order to the
+    oracle's unrolled stages) + shoelace, floor(x*1e6 + 0.5) -- the same
+    half-up quantization rendered in SQL, so per-pair values are
+    bit-comparable and the signed SUM is an order-free integer."""
+    import math
+
+    axs = [ta[0][0], ta[1][0], ta[2][0], ta[0][0]]
+    ays = [ta[0][1], ta[1][1], ta[2][1], ta[0][1]]
+    cxs = [tb[0][0], tb[1][0], tb[2][0], tb[0][0]]
+    cys = [tb[0][1], tb[1][1], tb[2][1], tb[0][1]]
+    verts = convex_clip_ring(axs, ays, cxs, cys)
+    return int(math.floor(shoelace_area_abs(verts) * 1000000.0 + 0.5))
+
+
+def make_intersection_area_general():
+    """Pandas UDF: exact-by-construction ST_Intersection AREA for ARBITRARY
+    simple polygons -- concave shells AND holes on both sides (the general
+    overlay-algebra gap; the convex-clipper path covers only convex B).
+
+    Identity: with the signed ring decomposition ind_A = sum sigma_r *
+    ind_ring, area(A intersect B) = sum over ring pairs sigma_a * sigma_b
+    * area(ring_a intersect ring_b); each simple ring is partitioned by
+    ear-clipping triangles, and triangle x triangle intersection is
+    convex x convex -- the already-proven Sutherland-Hodgman kernel.
+    Per-pair areas quantize to integer micro-units before the signed sum,
+    so the result is an order-free BIGINT (no float aggregation anywhere).
+
+    Scale shape: per-row work is O(tris_A x tris_B) on polygon-sized
+    rings inside one Arrow batch; nothing shuffles but the input rows."""
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def inter_area_micro(geom_a: pd.DataFrame,
+                         geom_b: pd.DataFrame) -> pd.Series:
+        out = np.zeros(len(geom_a), dtype=np.int64)
+        for i in range(len(geom_a)):
+            ta = _signed_tris(geom_a.iloc[i])
+            tb = _signed_tris(geom_b.iloc[i])
+            tot = 0
+            for sa, a in ta:
+                for sb, b in tb:
+                    tot += sa * sb * _tri_pair_area_micro(a, b)
+            out[i] = tot
+        return pd.Series(out)
+
+    return inter_area_micro
+
+
+def intersection_area_general_oracle_sql(values: str,
+                                         id_col: str = "region_id") -> str:
+    """DuckDB replay for the general intersection area: VALUES rows
+    ({id}, s, vs, ce) -- one row per signed triangle PAIR (s = sigma_a *
+    sigma_b, vs = subject triangle's 3 open vertices, ce = clip triangle's
+    3 CCW edges), rendered by the SAME triangulate_ring the engine runs.
+    Three unrolled Sutherland-Hodgman stages (identical expression order
+    to convex_clip_ring), shoelace, floor(x*1e6 + 0.5) quantization per
+    pair, then the signed BIGINT sum per {id} -- order-free, bit-exact."""
+    def stage(k: int, src: str, dst: str) -> str:
+        e = f"ce[{k + 1}]"
+        P = "vs[CASE WHEN i = 1 THEN len(vs) ELSE i - 1 END]"
+        Q = "vs[i]"
+        dp = (f"(({e}.bx - {e}.ax) * ({P}.y - {e}.ay)"
+              f" - ({e}.by - {e}.ay) * ({P}.x - {e}.ax))")
+        dq = (f"(({e}.bx - {e}.ax) * ({Q}.y - {e}.ay)"
+              f" - ({e}.by - {e}.ay) * ({Q}.x - {e}.ax))")
+        ip = (f"{{'x': {P}.x + ({dp} / ({dp} - {dq})) * ({Q}.x - {P}.x), "
+              f"'y': {P}.y + ({dp} / ({dp} - {dq})) * ({Q}.y - {P}.y)}}")
+        q = f"{{'x': {Q}.x, 'y': {Q}.y}}"
+        return f"""{dst} AS (
+  SELECT {id_col}, s, ce, flatten(list_transform(
+    generate_series(1, len(vs)), i ->
+      CASE WHEN {dq} >= 0 THEN
+             CASE WHEN NOT ({dp} >= 0) THEN [{ip}, {q}] ELSE [{q}] END
+           WHEN {dp} >= 0 THEN [{ip}]
+           ELSE [] END)) AS vs
+  FROM {src})"""
+
+    stages = []
+    src = "__in"
+    for k in range(3):
+        dst = f"__g{k}"
+        stages.append(stage(k, src, dst))
+        src = dst
+    chain = ",\n".join(stages)
+    return f"""
+WITH __in({id_col}, s, vs, ce) AS (VALUES
+{values}
+),
+{chain}
+SELECT {id_col},
+       CAST(SUM(s * CAST(FLOOR(
+           (0.5 * abs(coalesce(list_sum(list_transform(
+               generate_series(1, len(vs)), i ->
+                 vs[i].x * vs[CASE WHEN i = len(vs) THEN 1 ELSE i + 1 END].y
+               - vs[CASE WHEN i = len(vs) THEN 1 ELSE i + 1 END].x * vs[i].y)),
+               0.0))
+            * CASE WHEN len(vs) >= 3 THEN 1.0 ELSE 0.0 END)
+           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS area_micro
+FROM {src} GROUP BY {id_col}"""

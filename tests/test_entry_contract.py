@@ -72,17 +72,18 @@ def test_flagship_queries_inside_correctness_window():
     in registration order (round-2 finding: the 9 flagship operators
     registered last and fell outside it). Pin them to the front."""
     flagship = [
-        "q_spatial_join_pages", "q_spatial_join_salted", "q_knn_grid",
-        "q_minhash_pairs",
+        "q_spatial_join_pages", "q_knn_grid", "q_minhash_pairs",
         # round-4 additions: never driver-recorded before, must be in the
         # round-4 window (q_geocode_rollup / q_s2_cell_rollup /
         # q_geom_collection / q_simhash_pairs / q_embedding_dups /
-        # q_multimodal_features / q_ann_ivf / q_knn_distributed made room
-        # -- all eight recorded green in r1-r3)
+        # q_multimodal_features / q_ann_ivf / q_knn_distributed /
+        # q_spatial_join_salted made room -- all nine recorded green in
+        # r1-r3)
         "q_span_dedup", "q_span_dedup_clean", "q_winnow",
         "q_lm_score", "q_cluster_split", "q_stream_enrich", "q_union_area",
         "q_curation_pipeline",
-        "q_spatial_join_regions", "q_intersection_area", "q_stream_late",
+        "q_spatial_join_regions", "q_intersection_area",
+        "q_intersection_area_general", "q_stream_late",
     ]
     order = list(entry_mod.queries())
     for name in flagship:

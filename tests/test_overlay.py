@@ -243,3 +243,88 @@ def test_union_area_matches_pixel_bruteforce(spark):
     ora = {r[0]: r[1]
            for r in duckdb.sql(union_area_oracle_sql(cte, "key")).fetchall()}
     assert ora == want
+
+
+def test_intersection_area_general_ground_truth(spark):
+    """General (concave + holed) intersection area vs three independent
+    ground truths: an exact hand case with a hole, rasterized Monte-Carlo
+    area on the real fixture, and agreement with the convex-clip kernel
+    where both apply."""
+    from spatial.overlay import (convex_clip_ring, make_intersection_area_general,
+                                 shoelace_area_abs, triangulate_ring)
+    from spatial.ewkb import encode_hex
+    from spatial.geometry import polygon
+    from spatial.ewkb import ewkb_decode as dec
+    import __spark_entry__ as entry_mod
+
+    def sq(x0, y0, s):
+        r = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+        return [(float(a), float(b)) for a, b in r] + [(float(x0), float(y0))]
+
+    inter = make_intersection_area_general()
+    # A = 10x10 square with a 2x2 hole; B = 20x20 covering everything
+    # -> exact area = 100 - 4 = 96
+    rows = [(1, encode_hex(polygon([sq(0, 0, 10), sq(4, 4, 2)], srid=4326)),
+             encode_hex(polygon([sq(-5, -5, 20)], srid=4326))),
+            # disjoint -> 0
+            (2, encode_hex(polygon([sq(0, 0, 2)], srid=4326)),
+             encode_hex(polygon([sq(50, 50, 2)], srid=4326))),
+            # partial: 4x4 at origin vs 4x4 at (2,2) -> 4
+            (3, encode_hex(polygon([sq(0, 0, 4)], srid=4326)),
+             encode_hex(polygon([sq(2, 2, 4)], srid=4326)))]
+    df = spark.createDataFrame(rows, "rid long, a string, b string")
+    got = {r["rid"]: r["am"] for r in
+           df.select("rid", inter(dec("a"), dec("b")).alias("am")).collect()}
+    assert got == {1: 96_000_000, 2: 0, 3: 4_000_000}
+
+    # fixture pairs vs dense-grid rasterization (even-odd, holes subtract)
+    fixture = entry_mod._general_overlay_fixture()[:4]
+    rows = [(rid, encode_hex(polygon(rings, srid=4326)),
+             encode_hex(polygon([star], srid=4326)))
+            for rid, rings, star in fixture]
+    df = spark.createDataFrame(rows, "rid long, a string, b string")
+    got = {r["rid"]: r["am"] / 1e6 for r in
+           df.select("rid", inter(dec("a"), dec("b")).alias("am")).collect()}
+
+    def inside(ring, px, py):
+        n = len(ring) - 1
+        c = False
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i + 1]
+            if (y1 > py) != (y2 > py):
+                xc = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+                if px < xc:
+                    c = not c
+        return c
+
+    for rid, rings, star in fixture:
+        xs = [p[0] for ring in rings + [star] for p in ring]
+        ys = [p[1] for ring in rings + [star] for p in ring]
+        x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+        n = 260
+        hits = 0
+        for i in range(n):
+            for j in range(n):
+                px = x0 + (i + 0.5) * (x1 - x0) / n
+                py = y0 + (j + 0.5) * (y1 - y0) / n
+                in_a = sum(inside(r, px, py) for r in rings) % 2 == 1
+                if in_a and inside(star, px, py):
+                    hits += 1
+        approx = hits * (x1 - x0) * (y1 - y0) / (n * n)
+        assert abs(got[rid] - approx) < 0.05 * max(approx, 0.1), \
+            (rid, got[rid], approx)
+
+    # convex-on-convex agreement with the convex clip kernel
+    hexring = [(float(2 * np.cos(k * np.pi / 3)), float(2 * np.sin(k * np.pi / 3)))
+               for k in range(6)]
+    hexring.append(hexring[0])
+    sq1 = sq(-1, -1, 3)
+    want = shoelace_area_abs(convex_clip_ring(
+        [p[0] for p in sq1], [p[1] for p in sq1],
+        [p[0] for p in hexring], [p[1] for p in hexring]))
+    rows = [(9, encode_hex(polygon([sq1], srid=4326)),
+             encode_hex(polygon([hexring], srid=4326)))]
+    df = spark.createDataFrame(rows, "rid long, a string, b string")
+    gm = df.select(inter(dec("a"), dec("b")).alias("am")).collect()[0]["am"]
+    assert abs(gm / 1e6 - want) < 2e-6
