@@ -184,3 +184,30 @@ def test_polygon_join_plan_broadcast_and_geometry_free_candidates(spark):
     assert "__bminx" in plan
     assert ("BroadcastHashJoin [region_b" in plan
             or "BroadcastHashJoin [region_a" in plan)
+
+
+def test_lm_score_and_union_area_plans(spark):
+    """Round-4 operators stay on the fast path: lm_score is pure JVM (no
+    Python UDF anywhere -- the LM is two count aggregates + integer
+    arithmetic), and union_area's slab join is an EQUI join on
+    (key, x-bucket) -- a BroadcastNestedLoopJoin/CartesianProduct here is
+    the within-key quasi-cartesian that measured 110s at bench shape
+    before the bucket term was added."""
+    from spatial.datapipe.textstats import lm_score
+    from spatial.overlay import union_area
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+                .select("doc_id", "text")
+    plan = _plan(lm_score(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    rects = spark.range(2000).select(
+        (F.col("id") % 4).alias("key"),
+        (F.col("id") * 37 % 5000).alias("xmin"),
+        (F.col("id") * 91 % 5000).alias("ymin"),
+        (F.col("id") * 37 % 5000 + 40).alias("xmax"),
+        (F.col("id") * 91 % 5000 + 40).alias("ymax"))
+    plan = _plan(union_area(rects, "key"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
