@@ -168,13 +168,19 @@ def drop_duplicated_spans(df: DataFrame, window: int = 24,
             .withColumn("__spans", F.coalesce(
                 F.col("__spans"),
                 F.array().cast("array<struct<span_start:int,span_end:int>>"))))
-    # pure-JVM cut: chars whose 1-based position is covered by no removal
-    # span survive; spans per doc are few (merged, maximal), so the
-    # exists() probe is a short array scan per char.
+    # pure-JVM cut, O(spans) not O(chars): the merged spans are disjoint,
+    # so sorting them and folding left concatenates exactly the KEPT
+    # chunks between/around them -- a handful of substring calls per doc
+    # instead of one per character (the per-char transform was
+    # O(chars x spans) and substring(t, p, 1) walks the string for
+    # non-ASCII, quadratic on long docs -- the 100x-scale liability this
+    # fold removes; the output string, hence the md5 pin, is identical).
     clean = F.expr(
-        "array_join(transform(filter(sequence(1, length(t)), p -> "
-        "NOT exists(__spans, sp -> p >= sp.span_start AND "
-        "p <= sp.span_end)), p -> substring(t, p, 1)), '')")
+        "aggregate(sort_array(__spans), "
+        "struct(1 AS cur, '' AS acc), "
+        "(st, sp) -> struct(sp.span_end + 1 AS cur, "
+        "concat(st.acc, substring(t, st.cur, sp.span_start - st.cur)) AS acc), "
+        "st -> concat(st.acc, substring(t, st.cur, length(t) - st.cur + 1)))")
     return base.select(
         "id", F.length("t").alias("orig_len"),
         F.length(clean).alias("clean_len"),
