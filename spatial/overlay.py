@@ -146,6 +146,7 @@ def polygon_join(
     geom_col: str = "geom",
     level: Optional[int] = None,
     broadcast_threshold: int = 2_000_000,
+    refine_factory=None,
 ) -> DataFrame:
     """Exact polygon-overlay join: (left_id, right_id) for every pair whose
     polygons properly intersect (module predicate). Both inputs:
@@ -156,7 +157,12 @@ def polygon_join(
     right side is broadcast (cover rows AND geometry, both dim-sized by
     assumption) when its exploded cover is under broadcast_threshold rows;
     otherwise both sides shuffle on cell -- candidates stay geometry-free
-    either way, and the canonical-corner dedup means NO distinct shuffle."""
+    either way, and the canonical-corner dedup means NO distinct shuffle.
+
+    refine_factory swaps the exact pair predicate while keeping the whole
+    physical plan (cover candidates / bbox prefilter / corner dedup /
+    re-attach): line_polygon_join passes the linestring kernel; default is
+    the polygon pair kernel."""
     spark = left.sparkSession
     # staged pure-JVM cell expression: same constraint-propagation hazard as
     # SpatialJoinPlan (see join.py:178-196) -- inferred per-row predicate
@@ -222,8 +228,9 @@ def polygon_join(
     rg = right.select(F.col(right_id), F.col(geom_col).alias("__geom_b"))
     lg_side = F.broadcast(lg) if bcast_left else lg
     rg_side = F.broadcast(rg) if use_broadcast else rg
+    refine = (refine_factory or make_pair_refine)()
     refined = (pairs.join(lg_side, left_id).join(rg_side, right_id)
-               .where(make_pair_refine()(
+               .where(refine(
                    F.col(left_id), F.col("__geom_a"),
                    F.col(right_id), F.col("__geom_b")))
                .select(left_id, right_id))
@@ -750,3 +757,75 @@ SELECT {id_col},
             * CASE WHEN len(vs) >= 3 THEN 1.0 ELSE 0.0 END)
            * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS area_micro
 FROM {src} GROUP BY {id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# overlay-area algebra: signed polygon area + difference / symmetric
+# difference / pairwise union, all in order-free integer micro-units
+# ---------------------------------------------------------------------------
+
+
+def make_ring_areas_micro():
+    """Pandas UDF: signed polygon AREA in integer micro-units -- shells
+    (+) minus holes (-), each ring's shoelace quantized independently with
+    floor(x*1e6 + 0.5) so the per-geometry sum is an order-free BIGINT
+    (same quantization contract as make_intersection_area_general).
+
+    Together with the intersection kernel this completes the overlay-area
+    algebra by identities (exact at the integer level by definition,
+    within #pieces/2 micro-units of the real-valued areas):
+
+        area(A \\ B)     = area(A) - area(A n B)
+        area(B \\ A)     = area(B) - area(A n B)
+        area(A u B)      = area(A) + area(B) - area(A n B)
+        area(A delta B)  = area(A) + area(B) - 2*area(A n B)
+
+    The reference serializes the ring model this reads (Geometry.hs:55,82)
+    but computes no measures (Vector.hs is dead code)."""
+    import math
+
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def ring_areas_micro(geom: pd.DataFrame) -> pd.Series:
+        out = np.zeros(len(geom), dtype=np.int64)
+        for i in range(len(geom)):
+            row = geom.iloc[i]
+            xs, ys = row["xs"], row["ys"]
+            ro = [int(o) for o in row["ring_offsets"]]
+            po = set(int(o) for o in row["part_offsets"][:-1])
+            tot = 0
+            for r in range(len(ro) - 1):
+                verts = list(zip(
+                    [float(v) for v in xs[ro[r]:ro[r + 1] - 1]],
+                    [float(v) for v in ys[ro[r]:ro[r + 1] - 1]]))
+                sign = 1 if r in po else -1
+                tot += sign * int(math.floor(
+                    shoelace_area_abs(verts) * 1000000.0 + 0.5))
+            out[i] = tot
+        return pd.Series(out)
+
+    return ring_areas_micro
+
+
+def ring_areas_oracle_sql(values: str, id_col: str = "region_id",
+                          area_col: str = "area_micro") -> str:
+    """DuckDB replay of make_ring_areas_micro for a VALUES body
+    ({id}, s, vs): s = ring sign (+1 shell / -1 hole), vs = the ring's
+    OPEN vertex list [{'x','y'}, ...]. Same left-to-right shoelace cross
+    sum (list_sum order == the kernel's Python loop order) and the same
+    (0.5*abs(s))*1e6 + 0.5 floor quantization, so every per-ring integer
+    is bit-identical cross-engine and the signed SUM is order-free."""
+    return f"""
+WITH __r({id_col}, s, vs) AS (VALUES
+{values}
+)
+SELECT {id_col},
+       CAST(SUM(s * CAST(FLOOR(
+           (0.5 * abs(coalesce(list_sum(list_transform(
+               generate_series(1, len(vs)), i ->
+                 vs[i].x * vs[CASE WHEN i = len(vs) THEN 1 ELSE i + 1 END].y
+               - vs[CASE WHEN i = len(vs) THEN 1 ELSE i + 1 END].x * vs[i].y)),
+               0.0)))
+           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS {area_col}
+FROM __r GROUP BY {id_col}"""
