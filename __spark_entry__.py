@@ -2521,6 +2521,26 @@ def q_spatial_join_regions(spark, sf_dir):
     return polygon_join(A, B, left_id="region_a", right_id="region_b")
 
 
+def q_line_polygon_join(spark, sf_dir):
+    """LINESTRING x POLYGON spatial join (overlay.line_polygon_join): 24
+    wandering routes (every 5th a 2-part MultiLineString -- the third and
+    fourth geometry classes the reference serializes, Geometry.hs:43-49)
+    against the 20-region fixture on exact ST_Intersects: vertex-in-polygon
+    (even-odd, holes subtract) OR proper segment crossing. Identical
+    physical plan to q_spatial_join_regions (cover-cell candidates, bbox
+    prefilter, corner dedup, re-attach) with the line kernel swapped in via
+    refine_factory. Oracle: quantifier-free cross-join replay -- the same
+    ray cast + strict orientation signs, mul/sub only, bit-exact."""
+    from spatial.overlay import line_polygon_join
+    from spatial.synth import synth_regions, synth_routes
+
+    L = synth_routes(spark).select(
+        "route_id", ewkb_decode("geom_hex").alias("geom"))
+    R = synth_regions(spark).select(
+        "region_id", ewkb_decode("geom_hex").alias("geom"))
+    return line_polygon_join(L, R, line_id="route_id", poly_id="region_id")
+
+
 def _clip_fixture():
     """Shared fixture for q_intersection_area: (region_id, shell ring,
     CCW hexagon clipper ring) -- the SAME Python floats feed the Spark
@@ -2901,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query; these are round-5 window candidates, oracle-verified by
         # the full pytest replay meanwhile) --
         "q_overlay_areas": q_overlay_areas,
+        "q_line_polygon_join": q_line_polygon_join,
     }
 
 
@@ -3633,6 +3654,17 @@ def _spatial_join_regions_oracle() -> str:
         [(rid, rings) for rid, _c, rings in region_rings(seed=202)],
         sql_double)
     return polygon_join_oracle_sql(lv, rv, "region_a", "region_b")
+
+
+def _line_polygon_join_oracle() -> str:
+    from spatial.overlay import (_line_values_sql, _poly_values_sql,
+                                 line_polygon_join_oracle_sql)
+    from spatial.synth import region_rings, route_lines, sql_double
+
+    lv = _line_values_sql(route_lines(), sql_double)
+    pv = _poly_values_sql(
+        [(rid, rings) for rid, _c, rings in region_rings()], sql_double)
+    return line_polygon_join_oracle_sql(lv, pv, "route_id", "region_id")
 
 
 def _intersection_area_oracle() -> str:
@@ -4417,4 +4449,5 @@ def oracle_sql() -> dict[str, str]:
         "q_intersection_area": _intersection_area_oracle(),
         "q_stream_late": _STREAM_LATE_ORACLE,
         "q_overlay_areas": _overlay_areas_oracle(),
+        "q_line_polygon_join": _line_polygon_join_oracle(),
     }

@@ -135,6 +135,103 @@ def make_pair_refine():
 
 
 # ---------------------------------------------------------------------------
+# line x polygon kernel (ST_Intersects for routes/ways against regions)
+# ---------------------------------------------------------------------------
+#
+# A LineString (or MultiLineString) L intersects polygon P iff
+#
+#   (a) some vertex of L lies inside P (even-odd over all of P's rings, so
+#       holes subtract -- covers L entirely interior to P), or
+#   (b) some segment of L properly crosses some edge of P (strict
+#       orientation test -- covers L passing through with no vertex inside).
+#
+# For inputs in general position this IS ST_Intersects; boundary-only
+# tangency resolves by the same deterministic even-odd / strict-orientation
+# tie-breaks as the polygon pair predicate (module docstring), replayed
+# bit-for-bit by the oracle. The reference serializes exactly this
+# LineString model (Geometry.hs:43-49) but computes no predicates.
+
+
+def _line_edges(xs, ys, part_spans):
+    """Edge endpoint arrays over the line's parts -- consecutive vertex
+    pairs WITHIN each span, no closing edge (unlike _ring_edges, which
+    closes rings); 1-point parts contribute no edges (they can still hit
+    via the vertex-containment branch)."""
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for r in range(len(part_spans) - 1):
+        a, b = part_spans[r], part_spans[r + 1]
+        if b - a < 2:
+            continue
+        x1s.append(xs[a:b - 1])
+        y1s.append(ys[a:b - 1])
+        x2s.append(xs[a + 1:b])
+        y2s.append(ys[a + 1:b])
+    if not x1s:
+        z = np.zeros(0)
+        return z, z, z, z
+    return (np.concatenate(x1s), np.concatenate(y1s),
+            np.concatenate(x2s), np.concatenate(y2s))
+
+
+def _line_arrays(xs, ys, ro):
+    """(xs, ys, ring_offsets) -> cached (xs, ys, edge tuple). For
+    LINESTRING ring_offsets is [0, n]; for MULTILINESTRING one span per
+    part -- either way the spans are the per-part vertex runs."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    ro = [int(v) for v in ro]
+    return xs, ys, _line_edges(xs, ys, ro)
+
+
+def line_intersects_polygon(line, poly) -> bool:
+    """line = _line_arrays output, poly = _poly_arrays output."""
+    lx, ly, (l1x, l1y, l2x, l2y) = line
+    px, py, pro, (p1x, p1y, p2x, p2y) = poly
+    if pip_even_odd(lx, ly, px, py, pro).any():
+        return True
+    if len(l1x) == 0 or len(p1x) == 0:
+        return False
+    hits = _segments_intersect(
+        (l1x[:, None], l1y[:, None]), (l2x[:, None], l2y[:, None]),
+        (p1x[None, :], p1y[None, :]), (p2x[None, :], p2y[None, :]))
+    return bool(hits.any())
+
+
+def make_line_pair_refine():
+    """pandas_udf: (line_id, line_geom, poly_id, poly_geom) -> bool, the
+    drop-in refine_factory for polygon_join's plan (same signature/caching
+    discipline as make_pair_refine: per-geometry arrays built once per
+    distinct id within the Arrow batch)."""
+
+    @pandas_udf(BooleanType())
+    def line_pair_refine(lid: pd.Series, geom_l: pd.DataFrame,
+                         rid: pd.Series, geom_p: pd.DataFrame) -> pd.Series:
+        n = len(lid)
+        out = np.zeros(n, dtype=bool)
+        cache_l: dict = {}
+        cache_p: dict = {}
+        lxs, lys, lro = geom_l["xs"], geom_l["ys"], geom_l["ring_offsets"]
+        pxs, pys, pro = geom_p["xs"], geom_p["ys"], geom_p["ring_offsets"]
+        lv = lid.to_numpy()
+        rv = rid.to_numpy()
+        for i in range(n):
+            kl = lv[i]
+            a = cache_l.get(kl)
+            if a is None:
+                a = cache_l[kl] = _line_arrays(
+                    lxs.iloc[i], lys.iloc[i], lro.iloc[i])
+            kp = rv[i]
+            b = cache_p.get(kp)
+            if b is None:
+                b = cache_p[kp] = _poly_arrays(
+                    pxs.iloc[i], pys.iloc[i], pro.iloc[i])
+            out[i] = line_intersects_polygon(a, b)
+        return pd.Series(out)
+
+    return line_pair_refine
+
+
+# ---------------------------------------------------------------------------
 # the join
 # ---------------------------------------------------------------------------
 
@@ -293,6 +390,71 @@ FROM __a a CROSS JOIN __b b
 WHERE len(list_filter(a.va, v -> {pip_a_in_b})) > 0
    OR len(list_filter(b.vb, v -> {pip_b_in_a})) > 0
    OR len(list_filter(a.ea, s -> len(list_filter(b.eb, t ->
+        {_D1} != {_D2} AND {_D3} != {_D4}
+        AND {_D1} != 0 AND {_D2} != 0 AND {_D3} != 0 AND {_D4} != 0
+      )) > 0)) > 0"""
+
+
+def line_polygon_join(
+    lines: DataFrame,
+    polygons: DataFrame,
+    line_id: str = "line_id",
+    poly_id: str = "region_id",
+    geom_col: str = "geom",
+    level: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Exact LineString/MultiLineString x polygon ST_Intersects join --
+    the third geometry class the reference serializes (Geometry.hs:43-49)
+    joined against regions. Same physical plan as polygon_join (bbox ->
+    cover-cells candidates both sides, bbox prefilter, canonical-corner
+    dedup, geometry re-attach after dedup) with the line pair kernel
+    swapped in via refine_factory; every scale property (geometry-free
+    candidate stream, no distinct shuffle, independent per-side broadcast
+    decisions) is inherited, not re-implemented."""
+    return polygon_join(lines, polygons, left_id=line_id, right_id=poly_id,
+                        geom_col=geom_col, level=level,
+                        broadcast_threshold=broadcast_threshold,
+                        refine_factory=make_line_pair_refine)
+
+
+def _line_values_sql(line_sets, sql_double) -> str:
+    """[(id, [part, ...])] with each part an OPEN [(x, y), ...] polyline ->
+    VALUES body (id, vertices, edges): vertices = every part vertex, edges
+    = consecutive pairs WITHIN each part (no closing edge)."""
+    rows = []
+    for lid, parts in line_sets:
+        verts, edges = [], []
+        for part in parts:
+            for (x, y) in part:
+                verts.append(f"{{'x': {sql_double(x)}, 'y': {sql_double(y)}}}")
+            for (x1, y1), (x2, y2) in zip(part[:-1], part[1:]):
+                edges.append(
+                    f"{{'x1': {sql_double(x1)}, 'y1': {sql_double(y1)}, "
+                    f"'x2': {sql_double(x2)}, 'y2': {sql_double(y2)}}}")
+        rows.append(f"({lid}, [{', '.join(verts)}], [{', '.join(edges)}])")
+    return ",\n".join(rows)
+
+
+def line_polygon_join_oracle_sql(line_values: str, poly_values: str,
+                                 line_id: str = "line_id",
+                                 poly_id: str = "region_id") -> str:
+    """Quantifier-free DuckDB replay of the line x polygon predicate:
+    lines from _line_values_sql, polygons from _poly_values_sql. Same
+    even-odd ray cast (_PIP_SQL) for branch (a) and the same strict
+    orientation signs (_D1.._D4, s = line edge, t = polygon edge -- the
+    kernel's argument order) for branch (b); all mul/sub, bit-exact."""
+    pip_l_in_p = _PIP_SQL.format(edges="p.ep", v="v")
+    return f"""
+WITH __l(id_l, vl, el) AS (VALUES
+{line_values}
+), __p(id_p, vp, ep) AS (VALUES
+{poly_values}
+)
+SELECT l.id_l AS {line_id}, p.id_p AS {poly_id}
+FROM __l l CROSS JOIN __p p
+WHERE len(list_filter(l.vl, v -> {pip_l_in_p})) > 0
+   OR len(list_filter(l.el, s -> len(list_filter(p.ep, t ->
         {_D1} != {_D2} AND {_D3} != {_D4}
         AND {_D1} != 0 AND {_D2} != 0 AND {_D3} != 0 AND {_D4} != 0
       )) > 0)) > 0"""

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .gazetteer import CITIES
-from .geometry import polygon
+from .geometry import linestring, multilinestring, polygon
 from .ewkb import encode_hex
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
@@ -157,6 +157,44 @@ def synth_regions(spark: SparkSession, n_hot: int = _HOT_N, seed: int = 42,
         g = polygon(rings, srid=4326)
         rows.append((i, city, encode_hex(g)))
     return spark.createDataFrame(rows, "region_id long, name string, geom_hex string")
+
+
+def route_lines(n: int = 24, seed: int = 7) -> list[tuple[int, list]]:
+    """Pure-Python polyline fixture: [(route_id, [part, ...])] with each
+    part an OPEN [(x, y), ...] run -- random walks around the hot gazetteer
+    cities (route i starts near city i % _HOT_N), every 5th route a 2-part
+    MultiLineString. Single source of truth for synth_routes AND the
+    line-join oracle renderer, like region_rings for polygons. Random
+    radii/steps keep every fixture pair in general position (no
+    tie-break-decided pairs)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        _city, _cc, _tld, cx, cy = CITIES[i % _HOT_N]
+        parts = []
+        for p in range(2 if i % 5 == 0 else 1):
+            x = float(cx + rng.uniform(-2.5, 2.5))
+            y = float(cy + rng.uniform(-2.5, 2.5))
+            part = [(x, y)]
+            for _ in range(int(rng.integers(3, 8))):
+                x += float(rng.uniform(-1.4, 1.4))
+                y += float(rng.uniform(-1.4, 1.4))
+                part.append((x, y))
+            parts.append(part)
+        out.append((i, parts))
+    return out
+
+
+def synth_routes(spark: SparkSession, n: int = 24, seed: int = 7) -> DataFrame:
+    """LineString probe side for the line x polygon join: wandering routes
+    around the hot cities as hex-EWKB srid=4326 (LINESTRING, or
+    MULTILINESTRING for the 2-part routes)."""
+    rows = []
+    for rid, parts in route_lines(n, seed):
+        g = (linestring(parts[0], srid=4326) if len(parts) == 1
+             else multilinestring(parts, srid=4326))
+        rows.append((rid, encode_hex(g)))
+    return spark.createDataFrame(rows, "route_id long, geom_hex string")
 
 
 def pages_local(n_rows: int, seed: int = 42) -> pd.DataFrame:

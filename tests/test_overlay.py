@@ -123,6 +123,85 @@ def test_polygon_join_matches_bruteforce_kernel(spark):
 
 
 # ---------------------------------------------------------------------------
+# line x polygon
+# ---------------------------------------------------------------------------
+
+def _L(parts):
+    from spatial.overlay import _line_arrays
+
+    xs, ys, ro = [], [], [0]
+    for part in parts:
+        for x, y in part:
+            xs.append(float(x))
+            ys.append(float(y))
+        ro.append(len(xs))
+    return _line_arrays(xs, ys, ro)
+
+
+@pytest.mark.parametrize("name,line,poly,want", [
+    ("disjoint", _L([[(10, 10), (12, 12)]]), A, False),
+    ("fully inside (no edge crossing)", _L([[(1, 1), (2, 2)]]), A, True),
+    # passes straight through: NO line vertex inside, edges must catch it
+    ("pass-through", _L([[(-1, 2), (5, 2.1)]]), A, True),
+    ("one endpoint inside", _L([[(2, 2), (9, 9)]]), A, True),
+    # line entirely within the hole of a holed polygon: even-odd says NO
+    ("in-hole", _L([[(2.5, 2.5), (3.5, 3.6)]]),
+     _P([_sq(0, 0, 6), _sq(2, 2, 2)]), False),
+    # crosses from the hole into the polygon body: YES
+    ("hole-escape", _L([[(2.5, 2.5), (5.5, 5.6)]]),
+     _P([_sq(0, 0, 6), _sq(2, 2, 2)]), True),
+    # only the SECOND part of a multi-part line touches
+    ("second-part hit", _L([[(10, 10), (12, 12)], [(1, 1), (2, 2)]]),
+     A, True),
+    # 2-point parts too short for _ring_edges' ring logic still work
+    ("two-point crossing", _L([[(-1, 2), (5, 2.3)]]), A, True),
+])
+def test_line_polygon_predicate_ground_truth(name, line, poly, want):
+    from spatial.overlay import line_intersects_polygon
+
+    assert line_intersects_polygon(line, poly) == want, name
+
+
+def test_line_polygon_join_matches_bruteforce_kernel(spark):
+    """Distributed line x polygon plan == driver all-pairs kernel, and the
+    route fixture exercises every predicate branch (vertex-containment
+    only, crossing only, both) plus a multi-part-only hit."""
+    from spatial.ewkb import ewkb_decode
+    from spatial.kernels import _segments_intersect, pip_even_odd
+    from spatial.overlay import line_intersects_polygon, line_polygon_join
+    from spatial.synth import (region_rings, route_lines, synth_regions,
+                               synth_routes)
+
+    L_ = synth_routes(spark).select(
+        "route_id", ewkb_decode("geom_hex").alias("geom"))
+    R_ = synth_regions(spark).select(
+        "region_id", ewkb_decode("geom_hex").alias("geom"))
+    got = sorted(tuple(r) for r in line_polygon_join(
+        L_, R_, "route_id", "region_id").collect())
+    sh = sorted(tuple(r) for r in line_polygon_join(
+        L_, R_, "route_id", "region_id", broadcast_threshold=0).collect())
+    assert got == sh, "broadcast vs shuffle path disagree"
+
+    la = {rid: _L(parts) for rid, parts in route_lines()}
+    pa = {rid: _P(rings) for rid, _c, rings in region_rings()}
+    want = sorted((i, j) for i in la for j in pa
+                  if line_intersects_polygon(la[i], pa[j]))
+    assert got == want and len(got) > 0
+
+    branches = {"vertex_only": 0, "cross_only": 0, "both": 0}
+    for (i, j) in got:
+        lx, ly, (l1x, l1y, l2x, l2y) = la[i]
+        px, py, pro, (p1x, p1y, p2x, p2y) = pa[j]
+        vin = bool(pip_even_odd(lx, ly, px, py, pro).any())
+        cross = bool(_segments_intersect(
+            (l1x[:, None], l1y[:, None]), (l2x[:, None], l2y[:, None]),
+            (p1x[None, :], p1y[None, :]), (p2x[None, :], p2y[None, :])).any())
+        branches["both" if (vin and cross) else
+                 "vertex_only" if vin else "cross_only"] += 1
+    assert all(v > 0 for v in branches.values()), branches
+
+
+# ---------------------------------------------------------------------------
 # convex clip
 # ---------------------------------------------------------------------------
 
