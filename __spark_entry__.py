@@ -2541,6 +2541,38 @@ def q_line_polygon_join(spark, sf_dir):
     return line_polygon_join(L, R, line_id="route_id", poly_id="region_id")
 
 
+def q_route_region_length(spark, sf_dir):
+    """LINE-OVERLAY MEASURE: length of each route INSIDE each region it
+    intersects -- ST_Length(ST_Intersection(line, polygon)) in integer
+    micro-units (overlay.make_line_clip_length_micro: per-segment crossing
+    parameters, midpoint even-odd classification, per-sub-interval
+    quantization => order-free BIGINT). Plan: line_polygon_join prunes to
+    intersecting pairs (cover cells / bbox / corner dedup), geometries
+    re-attach by id (both sides dim-sized => broadcast), ONE measure kernel
+    pass per surviving pair; rows with zero clipped length (tangency-only
+    contact) drop. Oracle: the full fixture cross join through the
+    identical crossing/midpoint/quantization arithmetic, HAVING len > 0 --
+    positive length implies intersects, so join-then-filter ==
+    cross-then-filter on a general-position fixture."""
+    from spatial.overlay import line_polygon_join, make_line_clip_length_micro
+    from spatial.synth import synth_regions, synth_routes
+
+    L = synth_routes(spark).select(
+        "route_id", ewkb_decode("geom_hex").alias("geom_l"))
+    R = synth_regions(spark).select(
+        "region_id", ewkb_decode("geom_hex").alias("geom_p"))
+    pairs = line_polygon_join(
+        L.select("route_id", F.col("geom_l").alias("geom")),
+        R.select("region_id", F.col("geom_p").alias("geom")),
+        line_id="route_id", poly_id="region_id")
+    k = make_line_clip_length_micro()
+    return (pairs.join(F.broadcast(L), "route_id")
+            .join(F.broadcast(R), "region_id")
+            .select("route_id", "region_id",
+                    k("geom_l", "geom_p").alias("len_micro"))
+            .where(F.col("len_micro") > 0))
+
+
 def _clip_fixture():
     """Shared fixture for q_intersection_area: (region_id, shell ring,
     CCW hexagon clipper ring) -- the SAME Python floats feed the Spark
@@ -2922,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full pytest replay meanwhile) --
         "q_overlay_areas": q_overlay_areas,
         "q_line_polygon_join": q_line_polygon_join,
+        "q_route_region_length": q_route_region_length,
     }
 
 
@@ -3665,6 +3698,17 @@ def _line_polygon_join_oracle() -> str:
     pv = _poly_values_sql(
         [(rid, rings) for rid, _c, rings in region_rings()], sql_double)
     return line_polygon_join_oracle_sql(lv, pv, "route_id", "region_id")
+
+
+def _route_region_length_oracle() -> str:
+    from spatial.overlay import (_line_segs_values_sql, _poly_values_sql,
+                                 line_clip_length_oracle_sql)
+    from spatial.synth import region_rings, route_lines, sql_double
+
+    lv = _line_segs_values_sql(route_lines(), sql_double)
+    pv = _poly_values_sql(
+        [(rid, rings) for rid, _c, rings in region_rings()], sql_double)
+    return line_clip_length_oracle_sql(lv, pv, "route_id", "region_id")
 
 
 def _intersection_area_oracle() -> str:
@@ -4450,4 +4494,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_late": _STREAM_LATE_ORACLE,
         "q_overlay_areas": _overlay_areas_oracle(),
         "q_line_polygon_join": _line_polygon_join_oracle(),
+        "q_route_region_length": _route_region_length_oracle(),
     }

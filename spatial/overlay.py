@@ -461,6 +461,166 @@ WHERE len(list_filter(l.vl, v -> {pip_l_in_p})) > 0
 
 
 # ---------------------------------------------------------------------------
+# line clipped-length: ST_Length(ST_Intersection(line, polygon))
+# ---------------------------------------------------------------------------
+#
+# Per line segment p->q: every proper crossing with a polygon edge yields a
+# parameter t in (0,1) (t = ((a-p) x e) / (d x e), u = ((a-p) x d) / (d x e)
+# with d = q-p, e = b-a, both in (0,1) strictly, denom != 0); the sorted
+# crossings + {0,1} cut the segment into sub-intervals of constant
+# inside/outside parity, each classified by its midpoint through the same
+# even-odd cast as everything else. Each inside sub-interval's length
+# (t2-t1) * |q-p| quantizes to integer micro-units BEFORE the sum, so the
+# per-pair result is an order-free BIGINT (sqrt is correctly-rounded IEEE
+# in both engines; every other op is mul/sub/div in a fixed order). Inputs
+# in general position (no segment through a polygon vertex, no collinear
+# overlap) get the exact answer; degenerate contacts resolve by the same
+# deterministic strict-t / even-odd tie-breaks as the join predicates,
+# identically in both engines.
+
+
+def _clip_params(px, py, qx, qy, e1x, e1y, e2x, e2y):
+    """Sorted strict-interior crossing parameters t of segment p->q against
+    the edge arrays (vectorized; same expression order as the oracle)."""
+    dx = qx - px
+    dy = qy - py
+    ex = e2x - e1x
+    ey = e2y - e1y
+    denom = dx * ey - dy * ex
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((e1x - px) * ey - (e1y - py) * ex) / denom
+        u = ((e1x - px) * dy - (e1y - py) * dx) / denom
+    ok = (denom != 0) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
+    return np.sort(t[ok])
+
+
+def line_clip_length_micro(line, poly) -> int:
+    """line = _line_arrays output, poly = _poly_arrays output -> clipped
+    length in integer micro-units."""
+    import math
+
+    _lx, _ly, (l1x, l1y, l2x, l2y) = line
+    px_, py_, pro, (e1x, e1y, e2x, e2y) = poly
+    tot = 0
+    for s in range(len(l1x)):
+        px, py, qx, qy = l1x[s], l1y[s], l2x[s], l2y[s]
+        dx = qx - px
+        dy = qy - py
+        seg_len = math.sqrt(dx * dx + dy * dy)
+        ts = _clip_params(px, py, qx, qy, e1x, e1y, e2x, e2y) \
+            if len(e1x) else np.zeros(0)
+        bounds = np.concatenate(([0.0], ts, [1.0]))
+        mts = (bounds[:-1] + bounds[1:]) / 2.0
+        mxs = px + mts * dx
+        mys = py + mts * dy
+        inside = pip_even_odd(mxs, mys, px_, py_, pro)
+        for k in range(len(bounds) - 1):
+            if inside[k]:
+                tot += int(math.floor(
+                    (bounds[k + 1] - bounds[k]) * seg_len * 1000000.0 + 0.5))
+    return tot
+
+
+def make_line_clip_length_micro():
+    """pandas_udf: (line_geom, poly_geom) -> BIGINT micro-length of the
+    line's portion inside the polygon (holes subtract). Same id-free
+    per-row caching shape as the refine kernels: arrays rebuilt per row
+    (pairs arrive once per (line, polygon) after the join's dedup, so
+    there is no within-batch reuse to exploit)."""
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def clip_length_micro(geom_l: pd.DataFrame,
+                          geom_p: pd.DataFrame) -> pd.Series:
+        out = np.zeros(len(geom_l), dtype=np.int64)
+        lxs, lys, lro = geom_l["xs"], geom_l["ys"], geom_l["ring_offsets"]
+        pxs, pys, pro = geom_p["xs"], geom_p["ys"], geom_p["ring_offsets"]
+        for i in range(len(geom_l)):
+            line = _line_arrays(lxs.iloc[i], lys.iloc[i], lro.iloc[i])
+            poly = _poly_arrays(pxs.iloc[i], pys.iloc[i], pro.iloc[i])
+            out[i] = line_clip_length_micro(line, poly)
+        return pd.Series(out)
+
+    return clip_length_micro
+
+
+def _line_segs_values_sql(line_sets, sql_double) -> str:
+    """[(id, [part, ...])] -> VALUES body (id, segs): segs = the line's
+    directed segments [{'px','py','qx','qy'}, ...] within each part."""
+    rows = []
+    for lid, parts in line_sets:
+        segs = []
+        for part in parts:
+            for (x1, y1), (x2, y2) in zip(part[:-1], part[1:]):
+                segs.append(
+                    f"{{'px': {sql_double(x1)}, 'py': {sql_double(y1)}, "
+                    f"'qx': {sql_double(x2)}, 'qy': {sql_double(y2)}}}")
+        rows.append(f"({lid}, [{', '.join(segs)}])")
+    return ",\n".join(rows)
+
+
+def line_clip_length_oracle_sql(line_values: str, poly_values: str,
+                                line_id: str = "line_id",
+                                poly_id: str = "region_id",
+                                len_col: str = "len_micro") -> str:
+    """DuckDB replay of line_clip_length_micro over the full fixture cross
+    join, keeping rows with positive clipped length (positive length =>
+    intersects, so this equals engine-side join-then-filter). Lines from
+    _line_segs_values_sql, polygons from _poly_values_sql (edges field).
+    Identical expression order throughout: crossing params, midpoint,
+    even-odd cast, floor(dt * seglen * 1e6 + 0.5) per sub-interval,
+    BIGINT sum."""
+    e, s_ = "e", "s"  # lambda variable names
+    denom = f"((s.qx - s.px) * ({e}.y2 - {e}.y1) - (s.qy - s.py) * ({e}.x2 - {e}.x1))"
+    tnum = f"(({e}.x1 - s.px) * ({e}.y2 - {e}.y1) - ({e}.y1 - s.py) * ({e}.x2 - {e}.x1))"
+    unum = f"(({e}.x1 - s.px) * (s.qy - s.py) - ({e}.y1 - s.py) * (s.qx - s.px))"
+    mt = "((ts2[i] + ts2[i + 1]) / 2.0e0)"
+    mx = f"(s.px + {mt} * (s.qx - s.px))"
+    my = f"(s.py + {mt} * (s.qy - s.py))"
+    pip_mid = f"""len(list_filter(ep, e ->
+            ((e.y1 > {my}) != (e.y2 > {my}))
+            AND ({mx} < (e.x2 - e.x1) * ({my} - e.y1) / (e.y2 - e.y1) + e.x1)
+          )) % 2 = 1"""
+    return f"""
+WITH __l(id_l, segs) AS (VALUES
+{line_values}
+), __p(id_p, vp, ep) AS (VALUES
+{poly_values}
+),
+__seg AS (
+  SELECT l.id_l, p.id_p, p.ep, unnest(l.segs) AS s
+  FROM __l l CROSS JOIN __p p),
+__ts AS (
+  SELECT id_l, id_p, ep, s,
+         flatten([[0.0e0],
+                  list_sort(list_transform(list_filter(
+                    list_transform(ep, {e} -> {{'d': {denom},
+                                               'tn': {tnum},
+                                               'un': {unum}}}),
+                    z -> z.d <> 0
+                         AND z.tn / z.d > 0.0e0 AND z.tn / z.d < 1.0e0
+                         AND z.un / z.d > 0.0e0 AND z.un / z.d < 1.0e0),
+                    z -> z.tn / z.d)),
+                  [1.0e0]]) AS ts2,
+         sqrt((s.qx - s.px) * (s.qx - s.px)
+              + (s.qy - s.py) * (s.qy - s.py)) AS seglen
+  FROM __seg),
+__terms AS (
+  SELECT id_l, id_p,
+         list_sum(list_transform(generate_series(1, len(ts2) - 1), i ->
+           CASE WHEN {pip_mid}
+                THEN CAST(FLOOR((ts2[i + 1] - ts2[i]) * seglen
+                                * 1000000.0e0 + 0.5e0) AS BIGINT)
+                ELSE 0 END)) AS seg_micro
+  FROM __ts)
+SELECT id_l AS {line_id}, id_p AS {poly_id},
+       CAST(SUM(seg_micro) AS BIGINT) AS {len_col}
+FROM __terms
+GROUP BY id_l, id_p
+HAVING CAST(SUM(seg_micro) AS BIGINT) > 0"""
+
+
+# ---------------------------------------------------------------------------
 # convex-polygon clip -> exact intersection area (round-3 verdict gap #2,
 # reduced scope: general overlay algebra for a CONVEX clipper)
 # ---------------------------------------------------------------------------

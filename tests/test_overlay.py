@@ -201,6 +201,33 @@ def test_line_polygon_join_matches_bruteforce_kernel(spark):
     assert all(v > 0 for v in branches.values()), branches
 
 
+@pytest.mark.parametrize("name,line,poly,want_micro", [
+    # horizontal pass through the 4x4 square: inside length = 4
+    ("pass-through", _L([[(-1, 2), (5, 2)]]), A, 4_000_000),
+    # wholly inside: full length 2
+    ("inside", _L([[(1, 1), (3, 1)]]), A, 2_000_000),
+    ("disjoint", _L([[(10, 0), (12, 0)]]), A, 0),
+    # through the holed 6x6 square (hole 2..4): 6 - 2 = 4
+    ("hole subtracts", _L([[(-1, 3), (7, 3)]]),
+     _P([_sq(0, 0, 6), _sq(2, 2, 2)]), 4_000_000),
+    # diagonal corner cut of the unit square at y = 1 - x: from (0.5, 0.5)
+    # to edges -> length inside = hypot(.5,.5)*2 = sqrt(2)/2... use exact:
+    # segment (0,1)-(1,0) lies inside the 4x4 square entirely: sqrt(2)
+    ("diagonal", _L([[(0.25, 1), (1.25, 0.0001)]]), A, 1_414_284),
+    # both parts contribute: 1 + 2
+    ("multi-part", _L([[(1, 1), (2, 1)], [(1, 2), (3, 2)]]), A, 3_000_000),
+])
+def test_line_clip_length_ground_truth(name, line, poly, want_micro):
+    from spatial.overlay import line_clip_length_micro
+
+    got = line_clip_length_micro(line, poly)
+    if name == "diagonal":
+        import math
+        want_micro = int(math.floor(
+            math.hypot(1.0, 0.9999) * 1000000.0 + 0.5))
+    assert got == want_micro, (name, got, want_micro)
+
+
 # ---------------------------------------------------------------------------
 # convex clip
 # ---------------------------------------------------------------------------
