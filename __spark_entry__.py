@@ -2541,6 +2541,24 @@ def q_line_polygon_join(spark, sf_dir):
     return line_polygon_join(L, R, line_id="route_id", poly_id="region_id")
 
 
+def q_line_line_join(spark, sf_dir):
+    """POLYLINE x POLYLINE crossing join (overlay.line_line_join): two
+    route fixture sets (seeds 7 / 11) joined on proper segment crossing --
+    the road/route-network-intersection query, completing the join-kind
+    matrix (point x polygon, polygon x polygon, line x polygon, line x
+    line all driver-oracled). Same inherited plan: cover cells, bbox
+    prefilter, corner dedup, re-attach, strict-orientation kernel.
+    Oracle: quantifier-free cross-join replay of the orientation signs."""
+    from spatial.overlay import line_line_join
+    from spatial.synth import synth_routes
+
+    A = synth_routes(spark).select(
+        F.col("route_id").alias("line_a"), ewkb_decode("geom_hex").alias("geom"))
+    B = synth_routes(spark, seed=11).select(
+        F.col("route_id").alias("line_b"), ewkb_decode("geom_hex").alias("geom"))
+    return line_line_join(A, B, left_id="line_a", right_id="line_b")
+
+
 def q_route_region_length(spark, sf_dir):
     """LINE-OVERLAY MEASURE: length of each route INSIDE each region it
     intersects -- ST_Length(ST_Intersection(line, polygon)) in integer
@@ -2955,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlay_areas": q_overlay_areas,
         "q_line_polygon_join": q_line_polygon_join,
         "q_route_region_length": q_route_region_length,
+        "q_line_line_join": q_line_line_join,
     }
 
 
@@ -3698,6 +3717,15 @@ def _line_polygon_join_oracle() -> str:
     pv = _poly_values_sql(
         [(rid, rings) for rid, _c, rings in region_rings()], sql_double)
     return line_polygon_join_oracle_sql(lv, pv, "route_id", "region_id")
+
+
+def _line_line_join_oracle() -> str:
+    from spatial.overlay import _line_values_sql, line_line_join_oracle_sql
+    from spatial.synth import route_lines, sql_double
+
+    av = _line_values_sql(route_lines(), sql_double)
+    bv = _line_values_sql(route_lines(seed=11), sql_double)
+    return line_line_join_oracle_sql(av, bv, "line_a", "line_b")
 
 
 def _route_region_length_oracle() -> str:
@@ -4495,4 +4523,5 @@ def oracle_sql() -> dict[str, str]:
         "q_overlay_areas": _overlay_areas_oracle(),
         "q_line_polygon_join": _line_polygon_join_oracle(),
         "q_route_region_length": _route_region_length_oracle(),
+        "q_line_line_join": _line_line_join_oracle(),
     }

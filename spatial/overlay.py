@@ -395,6 +395,87 @@ WHERE len(list_filter(a.va, v -> {pip_a_in_b})) > 0
       )) > 0)) > 0"""
 
 
+def make_line_line_refine():
+    """pandas_udf refine for line x line: two polylines properly intersect
+    iff some segment of one STRICTLY crosses some segment of the other
+    (lines have measure-zero interior, so there is no containment branch;
+    endpoint-touching and collinear overlap are degenerate and resolve to
+    false by the strict orientation test, identically in both engines)."""
+
+    @pandas_udf(BooleanType())
+    def line_line_refine(lid: pd.Series, geom_a: pd.DataFrame,
+                         rid: pd.Series, geom_b: pd.DataFrame) -> pd.Series:
+        n = len(lid)
+        out = np.zeros(n, dtype=bool)
+        cache_a: dict = {}
+        cache_b: dict = {}
+        axs, ays, aro = geom_a["xs"], geom_a["ys"], geom_a["ring_offsets"]
+        bxs, bys, bro = geom_b["xs"], geom_b["ys"], geom_b["ring_offsets"]
+        lv = lid.to_numpy()
+        rv = rid.to_numpy()
+        for i in range(n):
+            ka = lv[i]
+            a = cache_a.get(ka)
+            if a is None:
+                a = cache_a[ka] = _line_arrays(
+                    axs.iloc[i], ays.iloc[i], aro.iloc[i])
+            kb = rv[i]
+            b = cache_b.get(kb)
+            if b is None:
+                b = cache_b[kb] = _line_arrays(
+                    bxs.iloc[i], bys.iloc[i], bro.iloc[i])
+            (a1x, a1y, a2x, a2y) = a[2]
+            (b1x, b1y, b2x, b2y) = b[2]
+            if len(a1x) == 0 or len(b1x) == 0:
+                continue
+            out[i] = bool(_segments_intersect(
+                (a1x[:, None], a1y[:, None]), (a2x[:, None], a2y[:, None]),
+                (b1x[None, :], b1y[None, :]),
+                (b2x[None, :], b2y[None, :])).any())
+        return pd.Series(out)
+
+    return line_line_refine
+
+
+def line_line_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "line_a",
+    right_id: str = "line_b",
+    geom_col: str = "geom",
+    level: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Exact polyline x polyline ST_Crosses join (route/way network
+    intersections) -- completes the join-kind matrix (point x polygon in
+    spatial/join.py, polygon x polygon and line x polygon here). Same
+    inherited physical plan; only the pair kernel differs."""
+    return polygon_join(left, right, left_id=left_id, right_id=right_id,
+                        geom_col=geom_col, level=level,
+                        broadcast_threshold=broadcast_threshold,
+                        refine_factory=make_line_line_refine)
+
+
+def line_line_join_oracle_sql(left_values: str, right_values: str,
+                              left_id: str = "line_a",
+                              right_id: str = "line_b") -> str:
+    """Quantifier-free DuckDB replay of the line x line predicate: both
+    sides from _line_values_sql (edges = per-part open segments); the
+    strict orientation signs only (_D1.._D4), mul/sub, bit-exact."""
+    return f"""
+WITH __a(id_a, va, ea) AS (VALUES
+{left_values}
+), __b(id_b, vb, eb) AS (VALUES
+{right_values}
+)
+SELECT a.id_a AS {left_id}, b.id_b AS {right_id}
+FROM __a a CROSS JOIN __b b
+WHERE len(list_filter(a.ea, s -> len(list_filter(b.eb, t ->
+        {_D1} != {_D2} AND {_D3} != {_D4}
+        AND {_D1} != 0 AND {_D2} != 0 AND {_D3} != 0 AND {_D4} != 0
+      )) > 0)) > 0"""
+
+
 def line_polygon_join(
     lines: DataFrame,
     polygons: DataFrame,

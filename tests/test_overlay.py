@@ -201,6 +201,42 @@ def test_line_polygon_join_matches_bruteforce_kernel(spark):
     assert all(v > 0 for v in branches.values()), branches
 
 
+def test_line_line_join_matches_bruteforce(spark):
+    """Distributed line x line plan == driver all-pairs strict-crossing
+    test, broadcast == shuffle, and hand cases pin the predicate."""
+    from spatial.ewkb import ewkb_decode
+    from spatial.kernels import _segments_intersect
+    from spatial.overlay import line_line_join
+    from spatial.synth import route_lines, synth_routes
+
+    def crosses(a, b):
+        (a1x, a1y, a2x, a2y) = a[2]
+        (b1x, b1y, b2x, b2y) = b[2]
+        if len(a1x) == 0 or len(b1x) == 0:
+            return False
+        return bool(_segments_intersect(
+            (a1x[:, None], a1y[:, None]), (a2x[:, None], a2y[:, None]),
+            (b1x[None, :], b1y[None, :]), (b2x[None, :], b2y[None, :])).any())
+
+    # hand cases: X-cross yes; parallel no; T-touch (endpoint on interior) no
+    assert crosses(_L([[(0, 0), (2, 2)]]), _L([[(0, 2), (2, 0)]]))
+    assert not crosses(_L([[(0, 0), (2, 0)]]), _L([[(0, 1), (2, 1)]]))
+    assert not crosses(_L([[(0, 0), (2, 0)]]), _L([[(1, 0), (1, 2)]]))
+
+    A_ = synth_routes(spark).select(
+        F.col("route_id").alias("line_a"), ewkb_decode("geom_hex").alias("geom"))
+    B_ = synth_routes(spark, seed=11).select(
+        F.col("route_id").alias("line_b"), ewkb_decode("geom_hex").alias("geom"))
+    got = sorted(tuple(r) for r in line_line_join(A_, B_).collect())
+    sh = sorted(tuple(r) for r in line_line_join(
+        A_, B_, broadcast_threshold=0).collect())
+    assert got == sh
+    la = {rid: _L(parts) for rid, parts in route_lines()}
+    lb = {rid: _L(parts) for rid, parts in route_lines(seed=11)}
+    want = sorted((i, j) for i in la for j in lb if crosses(la[i], lb[j]))
+    assert got == want and len(got) > 0
+
+
 @pytest.mark.parametrize("name,line,poly,want_micro", [
     # horizontal pass through the 4x4 square: inside length = 4
     ("pass-through", _L([[(-1, 2), (5, 2)]]), A, 4_000_000),
