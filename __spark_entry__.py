@@ -2541,6 +2541,26 @@ def q_line_polygon_join(spark, sf_dir):
     return line_polygon_join(L, R, line_id="route_id", poly_id="region_id")
 
 
+def q_grid_areal_weights(spark, sf_dir):
+    """AREAL INTERPOLATION (overlay.grid_areal_weights): each fixture
+    region's area split across the integer lon/lat grid cells it overlaps
+    -- the vector->raster reallocation step (region metric -> per-cell
+    density), on the engine's own integer lattice so cell corners are
+    exact literals in BOTH engines (no Mercator-inverse transcendentals).
+    Per (region, cell): every ring clipped by the cell rectangle
+    (Sutherland-Hodgman), per-ring floor(x*1e6+0.5), shells minus holes ->
+    order-free BIGINT; plus the window-sum denominator per region. Plan:
+    pure-JVM bbox-floor sequence explode over the dim table, one kernel
+    pass, one window. Oracle: the same cover enumeration rendered from the
+    shared fixture + 4 unrolled clip stages + identical quantization."""
+    from spatial.overlay import grid_areal_weights
+    from spatial.synth import synth_regions
+
+    R = synth_regions(spark).select(
+        "region_id", ewkb_decode("geom_hex").alias("geom"))
+    return grid_areal_weights(R)
+
+
 def q_line_line_join(spark, sf_dir):
     """POLYLINE x POLYLINE crossing join (overlay.line_line_join): two
     route fixture sets (seeds 7 / 11) joined on proper segment crossing --
@@ -2974,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_polygon_join": q_line_polygon_join,
         "q_route_region_length": q_route_region_length,
         "q_line_line_join": q_line_line_join,
+        "q_grid_areal_weights": q_grid_areal_weights,
     }
 
 
@@ -3717,6 +3738,15 @@ def _line_polygon_join_oracle() -> str:
     pv = _poly_values_sql(
         [(rid, rings) for rid, _c, rings in region_rings()], sql_double)
     return line_polygon_join_oracle_sql(lv, pv, "route_id", "region_id")
+
+
+def _grid_areal_weights_oracle() -> str:
+    from spatial.overlay import grid_areal_oracle_sql, grid_areal_values_sql
+    from spatial.synth import region_rings, sql_double
+
+    vals = grid_areal_values_sql(
+        [(rid, rings) for rid, _c, rings in region_rings()], sql_double)
+    return grid_areal_oracle_sql(vals, id_col="region_id")
 
 
 def _line_line_join_oracle() -> str:
@@ -4524,4 +4554,5 @@ def oracle_sql() -> dict[str, str]:
         "q_line_polygon_join": _line_polygon_join_oracle(),
         "q_route_region_length": _route_region_length_oracle(),
         "q_line_line_join": _line_line_join_oracle(),
+        "q_grid_areal_weights": _grid_areal_weights_oracle(),
     }

@@ -1163,6 +1163,198 @@ FROM {src} GROUP BY {id_col}"""
 
 
 # ---------------------------------------------------------------------------
+# areal interpolation: polygon -> unit-grid cell area weights
+# ---------------------------------------------------------------------------
+#
+# The classic GIS "areal interpolation / polygon rasterization" step: split
+# each polygon's area across the integer lon/lat grid cells it overlaps, so
+# a per-region metric can be reallocated proportionally (region count ->
+# per-cell density). The grid is the engine's own integer lattice (like
+# q_grid_cell_agg), so cell corners are EXACT integer literals in both
+# engines and the whole pipeline stays bit-exact -- no Mercator inverse
+# (whose transcendentals have no cross-engine bit guarantee) anywhere.
+#
+# Scale shape: regions are dim-sized; the cover explode is pure-JVM
+# F.sequence over floor(bbox) ranges (one row per candidate cell, the same
+# shape as cover_cells), and the clip kernel runs once per surviving
+# (region, cell) row. Nothing shuffles: it is a projection + explode over
+# the dim table.
+
+
+def grid_clip_area_micro_row(xs, ys, ro, po, gx: int, gy: int) -> int:
+    """Signed micro-area of (polygon ∩ [gx,gx+1]x[gy,gy+1]): each ring
+    clipped by the CCW cell rectangle via convex_clip_ring, per-ring
+    floor(x*1e6+0.5) quantization, shells (+) holes (-) -- the same
+    order-free-BIGINT contract as make_ring_areas_micro. Valid for holed
+    polygons because clipping by a convex set distributes over the
+    shell-minus-holes decomposition (holes lie inside shells)."""
+    import math
+
+    cxs = [float(gx), float(gx + 1), float(gx + 1), float(gx), float(gx)]
+    cys = [float(gy), float(gy), float(gy + 1), float(gy + 1), float(gy)]
+    ro = [int(v) for v in ro]
+    po_set = set(int(o) for o in po[:-1])
+    tot = 0
+    for r in range(len(ro) - 1):
+        verts = convex_clip_ring(
+            [float(v) for v in xs[ro[r]:ro[r + 1]]],
+            [float(v) for v in ys[ro[r]:ro[r + 1]]], cxs, cys)
+        sign = 1 if r in po_set else -1
+        tot += sign * int(math.floor(
+            shoelace_area_abs(verts) * 1000000.0 + 0.5))
+    return tot
+
+
+def make_grid_clip_area_micro():
+    """pandas_udf: (geom, gx, gy) -> BIGINT micro-area of the geometry's
+    intersection with the unit grid cell [gx,gx+1]x[gy,gy+1]."""
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def grid_clip_area_micro(geom: pd.DataFrame, gx: pd.Series,
+                             gy: pd.Series) -> pd.Series:
+        out = np.zeros(len(geom), dtype=np.int64)
+        xs_c, ys_c = geom["xs"], geom["ys"]
+        ro_c, po_c = geom["ring_offsets"], geom["part_offsets"]
+        gxv = gx.to_numpy(np.int64)
+        gyv = gy.to_numpy(np.int64)
+        for i in range(len(geom)):
+            out[i] = grid_clip_area_micro_row(
+                xs_c.iloc[i], ys_c.iloc[i], ro_c.iloc[i], po_c.iloc[i],
+                int(gxv[i]), int(gyv[i]))
+        return pd.Series(out)
+
+    return grid_clip_area_micro
+
+
+def grid_areal_weights(regions: DataFrame, region_id: str = "region_id",
+                       geom_col: str = "geom") -> DataFrame:
+    """(region_id, gx, gy, area_micro, region_total_micro) for every unit
+    grid cell a region overlaps with positive area. region_total_micro is
+    the window-sum of the region's cell areas -- the exact denominator for
+    proportional reallocation (weight = area_micro / region_total_micro),
+    kept as BIGINT so the row stays bit-exact; the division is the
+    consumer's (float) choice. The bbox -> candidate-cell explode is
+    pure-JVM sequence arithmetic."""
+    from pyspark.sql import Window
+
+    g = F.col(geom_col)
+    k = make_grid_clip_area_micro()
+    cand = (regions.select(
+        F.col(region_id), g.alias("__geom"),
+        F.floor(F.array_min(g["xs"])).alias("__gx0"),
+        F.floor(F.array_max(g["xs"])).alias("__gx1"),
+        F.floor(F.array_min(g["ys"])).alias("__gy0"),
+        F.floor(F.array_max(g["ys"])).alias("__gy1"))
+        .withColumn("gx", F.explode(F.sequence(F.col("__gx0"), F.col("__gx1"))))
+        .withColumn("gy", F.explode(F.sequence(F.col("__gy0"), F.col("__gy1")))))
+    scored = (cand.select(
+        region_id, "gx", "gy",
+        k(F.col("__geom"), F.col("gx"), F.col("gy")).alias("area_micro"))
+        .where(F.col("area_micro") > 0))
+    w = Window.partitionBy(region_id)
+    return scored.withColumn(
+        "region_total_micro", F.sum("area_micro").over(w))
+
+
+def grid_areal_oracle_sql(values: str, id_col: str = "region_id") -> str:
+    """DuckDB replay of grid_areal_weights: VALUES rows
+    ({id}, gx, gy, s, vs, ce) -- one per (ring, candidate cell) with vs =
+    the ring's CLOSED vertex list, ce = the cell rectangle's 4 CCW edges
+    (integer corners), s = ring sign -- rendered by the same bbox-floor
+    cover enumeration the engine's sequence() performs. Four unrolled
+    Sutherland-Hodgman stages (identical emit order to convex_clip_ring,
+    which drops the closing vertex itself: vs[1..len-1]), shoelace,
+    floor(x*1e6+0.5) per ring, signed sum per (id, gx, gy), HAVING > 0,
+    then the window total per {id}."""
+    def stage(k: int, src: str, dst: str) -> str:
+        e = f"ce[{k + 1}]"
+        P = "vs[CASE WHEN i = 1 THEN len(vs) ELSE i - 1 END]"
+        Q = "vs[i]"
+        dp = (f"(({e}.bx - {e}.ax) * ({P}.y - {e}.ay)"
+              f" - ({e}.by - {e}.ay) * ({P}.x - {e}.ax))")
+        dq = (f"(({e}.bx - {e}.ax) * ({Q}.y - {e}.ay)"
+              f" - ({e}.by - {e}.ay) * ({Q}.x - {e}.ax))")
+        ip = (f"{{'x': {P}.x + ({dp} / ({dp} - {dq})) * ({Q}.x - {P}.x), "
+              f"'y': {P}.y + ({dp} / ({dp} - {dq})) * ({Q}.y - {P}.y)}}")
+        q = f"{{'x': {Q}.x, 'y': {Q}.y}}"
+        return f"""{dst} AS (
+  SELECT {id_col}, gx, gy, s, ce, flatten(list_transform(
+    generate_series(1, len(vs)), i ->
+      CASE WHEN {dq} >= 0 THEN
+             CASE WHEN NOT ({dp} >= 0) THEN [{ip}, {q}] ELSE [{q}] END
+           WHEN {dp} >= 0 THEN [{ip}]
+           ELSE [] END)) AS vs
+  FROM {src})"""
+
+    stages = []
+    src = "__open"
+    for k in range(4):
+        dst = f"__s{k}"
+        stages.append(stage(k, src, dst))
+        src = dst
+    chain = ",\n".join(stages)
+    return f"""
+WITH __in({id_col}, gx, gy, s, vs, ce) AS (VALUES
+{values}
+),
+__open AS (
+  SELECT {id_col}, gx, gy, s, ce, vs[1:len(vs) - 1] AS vs FROM __in),
+{chain},
+__cells AS (
+  SELECT {id_col}, gx, gy,
+         CAST(SUM(s * CAST(FLOOR(
+             (0.5 * abs(coalesce(list_sum(list_transform(
+                 generate_series(1, len(vs)), i ->
+                   vs[i].x * vs[CASE WHEN i = len(vs) THEN 1 ELSE i + 1 END].y
+                 - vs[CASE WHEN i = len(vs) THEN 1 ELSE i + 1 END].x * vs[i].y)),
+                 0.0))
+              * CASE WHEN len(vs) >= 3 THEN 1.0 ELSE 0.0 END)
+             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS area_micro
+  FROM {src} GROUP BY {id_col}, gx, gy
+  HAVING CAST(SUM(s * CAST(FLOOR(
+             (0.5 * abs(coalesce(list_sum(list_transform(
+                 generate_series(1, len(vs)), i ->
+                   vs[i].x * vs[CASE WHEN i = len(vs) THEN 1 ELSE i + 1 END].y
+                 - vs[CASE WHEN i = len(vs) THEN 1 ELSE i + 1 END].x * vs[i].y)),
+                 0.0))
+              * CASE WHEN len(vs) >= 3 THEN 1.0 ELSE 0.0 END)
+             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) > 0)
+SELECT {id_col}, gx, gy, area_micro,
+       CAST(SUM(area_micro) OVER (PARTITION BY {id_col}) AS BIGINT)
+         AS region_total_micro
+FROM __cells"""
+
+
+def grid_areal_values_sql(ring_sets, sql_double) -> str:
+    """[(id, [ring, ...])] (closed rings, ring 0 = shell) -> the VALUES
+    body for grid_areal_oracle_sql, enumerating candidate cells exactly as
+    the engine does: gx in [floor(min xs), floor(max xs)], gy likewise,
+    from the SAME fixture floats."""
+    import math
+
+    rows = []
+    for rid, rings in ring_sets:
+        all_x = [x for ring in rings for (x, _y) in ring]
+        all_y = [y for ring in rings for (_x, y) in ring]
+        gx0, gx1 = math.floor(min(all_x)), math.floor(max(all_x))
+        gy0, gy1 = math.floor(min(all_y)), math.floor(max(all_y))
+        for gx in range(gx0, gx1 + 1):
+            for gy in range(gy0, gy1 + 1):
+                ce = (f"[{{'ax': {gx}.0e0, 'ay': {gy}.0e0, 'bx': {gx + 1}.0e0, 'by': {gy}.0e0}}, "
+                      f"{{'ax': {gx + 1}.0e0, 'ay': {gy}.0e0, 'bx': {gx + 1}.0e0, 'by': {gy + 1}.0e0}}, "
+                      f"{{'ax': {gx + 1}.0e0, 'ay': {gy + 1}.0e0, 'bx': {gx}.0e0, 'by': {gy + 1}.0e0}}, "
+                      f"{{'ax': {gx}.0e0, 'ay': {gy + 1}.0e0, 'bx': {gx}.0e0, 'by': {gy}.0e0}}]")
+                for r, ring in enumerate(rings):
+                    s = 1 if r == 0 else -1
+                    vs = ", ".join(
+                        f"{{'x': {sql_double(x)}, 'y': {sql_double(y)}}}"
+                        for x, y in ring)
+                    rows.append(f"({rid}, {gx}, {gy}, {s}, [{vs}], {ce})")
+    return ",\n".join(rows)
+
+
+# ---------------------------------------------------------------------------
 # overlay-area algebra: signed polygon area + difference / symmetric
 # difference / pairwise union, all in order-free integer micro-units
 # ---------------------------------------------------------------------------

@@ -112,7 +112,8 @@ def test_round4_window_covers_never_recorded_queries():
     # round-5 window-rotation candidates. Pinned by name so any OTHER
     # never-recorded query outside the window still fails this test.
     post_freeze = {"q_overlay_areas", "q_line_polygon_join",
-                   "q_route_region_length", "q_line_line_join"}
+                   "q_route_region_length", "q_line_line_join",
+                   "q_grid_areal_weights"}
     missing = [q for q in order if q not in recorded and q not in window
                and q not in post_freeze]
     assert not missing, f"never-driver-recorded queries outside window: {missing}"

@@ -264,6 +264,50 @@ def test_line_clip_length_ground_truth(name, line, poly, want_micro):
     assert got == want_micro, (name, got, want_micro)
 
 
+def test_grid_areal_weights_hand_and_conservation(spark):
+    """Hand case: a 2x2 square at (0.5, 0.5) splits 4 quarter-cells of 1e6
+    micro each; the holed fixture regions conserve total area across cells
+    within the per-cell half-unit quantization slack, and the window
+    denominator equals the sum."""
+    import collections
+    import math
+
+    from spatial.ewkb import encode_hex, ewkb_decode
+    from spatial.geometry import polygon
+    from spatial.overlay import grid_areal_weights, shoelace_area_abs
+    from spatial.synth import region_rings, synth_regions
+
+    sq = [(0.5, 0.5), (2.5, 0.5), (2.5, 2.5), (0.5, 2.5), (0.5, 0.5)]
+    df = spark.createDataFrame(
+        [(0, encode_hex(polygon([sq], srid=4326)))],
+        "region_id long, geom_hex string").select(
+        "region_id", ewkb_decode("geom_hex").alias("geom"))
+    got = {(r["gx"], r["gy"]): (r["area_micro"], r["region_total_micro"])
+           for r in grid_areal_weights(df).collect()}
+    want_cells = {(0, 0): 250000, (1, 0): 500000, (2, 0): 250000,
+                  (0, 1): 500000, (1, 1): 1000000, (2, 1): 500000,
+                  (0, 2): 250000, (1, 2): 500000, (2, 2): 250000}
+    assert {k: v[0] for k, v in got.items()} == want_cells
+    assert all(v[1] == 4000000 for v in got.values())
+
+    R = synth_regions(spark).select(
+        "region_id", ewkb_decode("geom_hex").alias("geom"))
+    rows = grid_areal_weights(R).collect()
+    tot = collections.defaultdict(int)
+    ncells = collections.defaultdict(int)
+    for r in rows:
+        tot[r["region_id"]] += r["area_micro"]
+        ncells[r["region_id"]] += 1
+        assert r["area_micro"] > 0
+    for rid, _c, rings in region_rings():
+        want = sum((1 if k == 0 else -1)
+                   * shoelace_area_abs([(x, y) for x, y in ring[:-1]]) * 1e6
+                   for k, ring in enumerate(rings))
+        assert abs(tot[rid] - want) <= 0.5 * ncells[rid] + 1.0, rid
+    totals = {r["region_id"]: r["region_total_micro"] for r in rows}
+    assert all(totals[k] == tot[k] for k in tot)
+
+
 # ---------------------------------------------------------------------------
 # convex clip
 # ---------------------------------------------------------------------------
