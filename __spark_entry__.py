@@ -2541,6 +2541,36 @@ def q_line_polygon_join(spark, sf_dir):
     return line_polygon_join(L, R, line_id="route_id", poly_id="region_id")
 
 
+def q_nearest_route(spark, sf_dir):
+    """NEAREST-ROUTE ASSIGNMENT (kNN k=1 for LINE geometries): every event
+    point assigned its closest fixture route by point-to-polyline SQUARED
+    distance (overlay.make_point_line_dist_sq -- mul/add/div only, no
+    sqrt, so the value is bit-exact cross-engine and the argmin needs no
+    rounding). Plan: events x broadcast(24 routes) nested-loop (the
+    correct physical plan for a dim-sized route set; the grid-pruned
+    kNN in spatial/knn.py is the big-build-side alternative for points),
+    then ONE map-side-combinable min(struct(d2, route_id)) aggregate --
+    lexicographic struct min = deterministic argmin with id tie-break,
+    no window sort. Oracle: the same segment-projection expression via
+    list_min + row_number qualify."""
+    from spatial.overlay import make_point_line_dist_sq
+    from spatial.synth import synth_routes
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", _lon().alias("__ex"), _lat().alias("__ey"))
+    routes = synth_routes(spark).select(
+        "route_id", ewkb_decode("geom_hex").alias("geom"))
+    d2 = make_point_line_dist_sq()
+    scored = ev.crossJoin(F.broadcast(routes)).select(
+        "event_id", "route_id",
+        d2(F.col("__ex"), F.col("__ey"), F.col("geom")).alias("d2"))
+    return (scored.groupBy("event_id")
+            .agg(F.min(F.struct("d2", "route_id")).alias("__b"))
+            .select("event_id",
+                    F.col("__b.route_id").alias("route_id"),
+                    F.col("__b.d2").alias("dist_sq")))
+
+
 def q_grid_areal_weights(spark, sf_dir):
     """AREAL INTERPOLATION (overlay.grid_areal_weights): each fixture
     region's area split across the integer lon/lat grid cells it overlaps
@@ -2995,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_route_region_length": q_route_region_length,
         "q_line_line_join": q_line_line_join,
         "q_grid_areal_weights": q_grid_areal_weights,
+        "q_nearest_route": q_nearest_route,
     }
 
 
@@ -3738,6 +3769,24 @@ def _line_polygon_join_oracle() -> str:
     pv = _poly_values_sql(
         [(rid, rings) for rid, _c, rings in region_rings()], sql_double)
     return line_polygon_join_oracle_sql(lv, pv, "route_id", "region_id")
+
+
+def _nearest_route_oracle() -> str:
+    from spatial.overlay import _line_segs_values_sql, point_line_dist_sq_sql
+    from spatial.synth import route_lines, sql_double
+
+    rv = _line_segs_values_sql(route_lines(), sql_double)
+    d2 = point_line_dist_sq_sql("r.segs", f"({LON_SQL})", f"({LAT_SQL})")
+    return f"""
+WITH __r(route_id, segs) AS (VALUES
+{rv}
+),
+__d AS (
+  SELECT e.event_id, r.route_id, {d2} AS d2
+  FROM events e CROSS JOIN __r r)
+SELECT event_id, route_id, d2 AS dist_sq
+FROM __d
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY d2, route_id) = 1"""
 
 
 def _grid_areal_weights_oracle() -> str:
@@ -4555,4 +4604,5 @@ def oracle_sql() -> dict[str, str]:
         "q_route_region_length": _route_region_length_oracle(),
         "q_line_line_join": _line_line_join_oracle(),
         "q_grid_areal_weights": _grid_areal_weights_oracle(),
+        "q_nearest_route": _nearest_route_oracle(),
     }

@@ -1163,6 +1163,78 @@ FROM {src} GROUP BY {id_col}"""
 
 
 # ---------------------------------------------------------------------------
+# point -> polyline squared distance (nearest-route assignment)
+# ---------------------------------------------------------------------------
+
+
+def make_point_line_dist_sq():
+    """pandas_udf: (x, y, line GEOMETRY) -> SQUARED planar distance to the
+    polyline (min over its segments of the clamped-projection distance).
+    Squared on purpose: every op is mul/add/div in a fixed order -- no
+    sqrt/hypot (np.hypot and SQL sqrt have no cross-engine bit guarantee)
+    -- so the value is bit-identical in DuckDB and an argmin over it needs
+    no rounding or tolerance. Ancestor: kernels.st_distance_udf (the
+    rounded euclidean form); per-part segments via _line_edges, so
+    MultiLineString parts don't get phantom bridge segments.
+
+    Within an Arrow batch rows are grouped by the line's identity (id is
+    not passed; grouping keys on the xs tuple) and each group's points run
+    one vectorized (n_seg x n_pts) kernel -- the st_contains_point
+    discipline."""
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def point_line_dist_sq(px: pd.Series, py: pd.Series,
+                           geom: pd.DataFrame) -> pd.Series:
+        n = len(px)
+        out = np.full(n, np.inf, dtype=np.float64)
+        if n == 0:
+            return pd.Series(out)
+        pxv = px.to_numpy(np.float64)
+        pyv = py.to_numpy(np.float64)
+        xs_c, ys_c, ro_c = geom["xs"], geom["ys"], geom["ring_offsets"]
+        keys = pd.Series([tuple(v) for v in xs_c])
+        for _, idx in pd.Series(np.arange(n)).groupby(keys).indices.items():
+            first = idx[0]
+            _xs, _ys, (s1x, s1y, s2x, s2y) = _line_arrays(
+                xs_c.iloc[first], ys_c.iloc[first], ro_c.iloc[first])
+            if len(s1x) == 0:
+                continue
+            qx = pxv[idx][None, :]
+            qy = pyv[idx][None, :]
+            sdx = (s2x - s1x)[:, None]
+            sdy = (s2y - s1y)[:, None]
+            ax = s1x[:, None]
+            ay = s1y[:, None]
+            L2 = sdx * sdx + sdy * sdy
+            tr = ((qx - ax) * sdx + (qy - ay) * sdy) / np.where(L2 > 0, L2, 1.0)
+            t = np.where(L2 > 0, np.clip(tr, 0.0, 1.0), 0.0)
+            ddx = qx - (ax + t * sdx)
+            ddy = qy - (ay + t * sdy)
+            d2 = ddx * ddx + ddy * ddy
+            out[idx] = d2.min(axis=0)
+        return pd.Series(out)
+
+    return point_line_dist_sq
+
+
+def point_line_dist_sq_sql(seg_list: str, x_expr: str, y_expr: str) -> str:
+    """DuckDB expression: min squared distance from ({x_expr}, {y_expr})
+    to the segments list {seg_list} ([{'px','py','qx','qy'}...]) -- the
+    identical expression order as make_point_line_dist_sq, bit-exact."""
+    L2 = "((s.qx - s.px) * (s.qx - s.px) + (s.qy - s.py) * (s.qy - s.py))"
+    tr = (f"((({x_expr} - s.px) * (s.qx - s.px)"
+          f" + ({y_expr} - s.py) * (s.qy - s.py)) / {L2})")
+    t = (f"(CASE WHEN {L2} > 0 THEN "
+         f"(CASE WHEN {tr} < 0.0e0 THEN 0.0e0 "
+         f"WHEN {tr} > 1.0e0 THEN 1.0e0 ELSE {tr} END) ELSE 0.0e0 END)")
+    ddx = f"({x_expr} - (s.px + {t} * (s.qx - s.px)))"
+    ddy = f"({y_expr} - (s.py + {t} * (s.qy - s.py)))"
+    return (f"list_min(list_transform({seg_list}, s -> "
+            f"{ddx} * {ddx} + {ddy} * {ddy}))")
+
+
+# ---------------------------------------------------------------------------
 # areal interpolation: polygon -> unit-grid cell area weights
 # ---------------------------------------------------------------------------
 #

@@ -264,6 +264,42 @@ def test_line_clip_length_ground_truth(name, line, poly, want_micro):
     assert got == want_micro, (name, got, want_micro)
 
 
+def test_point_line_dist_sq_known_values(spark):
+    """Closed-form checks of the squared point-to-polyline distance:
+    projection interior, endpoint clamp, vertex corner, multi-part min."""
+    from spatial.ewkb import encode_hex, ewkb_decode
+    from spatial.geometry import linestring, multilinestring
+    from spatial.overlay import make_point_line_dist_sq
+
+    geoms = {
+        # horizontal segment y=0, x in [0, 10]
+        1: linestring([(0, 0), (10, 0)], srid=4326),
+        # L-shape with corner at (5, 5)
+        2: linestring([(0, 5), (5, 5), (5, 0)], srid=4326),
+        # two parts: far part and near part; no bridge segment between
+        3: multilinestring([[(100, 100), (101, 100)], [(0, 3), (10, 3)]],
+                           srid=4326),
+    }
+    cases = [  # (geom_id, px, py, want_d2)
+        (1, 3.0, 4.0, 16.0),      # interior projection -> (3, 0)
+        (1, -3.0, 4.0, 25.0),     # clamp to endpoint (0,0): 9+16
+        (1, 13.0, -4.0, 25.0),    # clamp to endpoint (10,0)
+        (2, 7.0, 7.0, 8.0),       # nearest is corner vertex (5,5)
+        (3, 5.0, 0.0, 9.0),       # near part wins; if a phantom bridge
+                                  # segment existed it would pass closer
+    ]
+    rows = [(gid, px, py, encode_hex(geoms[gid]))
+            for (gid, px, py, _w) in cases]
+    df = spark.createDataFrame(
+        rows, "gid long, px double, py double, geom_hex string")
+    d2 = make_point_line_dist_sq()
+    got = {(r["gid"], r["px"]): r["d2"] for r in df.select(
+        "gid", "px", d2("px", "py", ewkb_decode("geom_hex")).alias("d2")
+    ).collect()}
+    for gid, px, py, want in cases:
+        assert got[(gid, px)] == want, (gid, px, py, got[(gid, px)], want)
+
+
 def test_grid_areal_weights_hand_and_conservation(spark):
     """Hand case: a 2x2 square at (0.5, 0.5) splits 4 quarter-cells of 1e6
     micro each; the holed fixture regions conserve total area across cells
