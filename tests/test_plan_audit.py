@@ -211,3 +211,35 @@ def test_lm_score_and_union_area_plans(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nearest_route_plan_broadcast_and_partial_agg(spark):
+    """q_nearest_route's scale claims on the physical plan: the dim route
+    set broadcasts (BroadcastNestedLoopJoin -- the deliberate brute-force
+    plan for a 24-row build side; no shuffle of the probe side before the
+    aggregate), and the argmin is a map-side-combinable min(struct(...)):
+    a partial_min must appear BELOW the exchange, so only one combined row
+    per event crosses the wire, not the 24x candidate stream."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["q_nearest_route"](spark, SF)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan
+    # exactly ONE exchange: the final aggregation by event_id
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange hashpartitioning") == 1
+
+
+def test_grid_areal_weights_plan_no_shuffle_before_kernel(spark):
+    """grid_areal_weights is a projection + explode over the dim table:
+    the only exchange in its plan is the window's partitionBy(region_id);
+    the cover-cell explode and the clip kernel run shuffle-free."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["q_grid_areal_weights"](spark, SF)
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange hashpartitioning") == 1  # the window only
