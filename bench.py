@@ -225,6 +225,28 @@ def run_benchmarks(spark: SparkSession, sf_dir: str, n_pages: int) -> dict:
                       .alias("geom"))
     timed("polygon_overlay",
           lambda: polygon_join(ovl_a, ovl_b, "left_id", "right_id").count())
+
+    # nearest-route assignment (round 4): every event point -> closest of
+    # 48 broadcast routes by squared point-to-polyline distance, argmin as
+    # one map-side-combinable min(struct) aggregate (q_nearest_route plan)
+    from spatial.overlay import make_point_line_dist_sq
+    from spatial.synth import synth_routes
+
+    routes48 = synth_routes(spark, n=48).select(
+        "route_id", ewkb_decode("geom_hex").alias("geom"))
+    d2k = make_point_line_dist_sq()
+
+    def nearest_route():
+        scored = (ev.select("event_id", x.alias("__ex"), y.alias("__ey"))
+                  .crossJoin(F.broadcast(routes48))
+                  .select("event_id", "route_id",
+                          d2k(F.col("__ex"), F.col("__ey"),
+                              F.col("geom")).alias("d2")))
+        return (scored.groupBy("event_id")
+                .agg(F.min(F.struct("d2", "route_id")).alias("b"))
+                .count())
+
+    timed("nearest_route", nearest_route)
     timed("textstats", lambda: with_textstats(docs).count())
     timed("minhash_dedup",
           lambda: minhash_dedup_pairs(
