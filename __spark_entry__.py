@@ -2541,6 +2541,26 @@ def q_line_polygon_join(spark, sf_dir):
     return line_polygon_join(L, R, line_id="route_id", poly_id="region_id")
 
 
+def q_dbscan(spark, sf_dir):
+    """GRID-BASED DBSCAN (spatial/dbscan.py): exact density clustering of
+    the 1200-point blobs+noise fixture (eps=1.0, min_pts=5 incl. self) --
+    eps-grid 3x3 probe join for neighbor pairs (bounded by local density,
+    the MR-DBSCAN shape, never all-pairs), core = count aggregate,
+    clusters = the proven log-round pointer-jumping CC over core-core
+    edges (component-min label), border = min over core neighbors' labels
+    (the deterministic refinement of textbook scan-order assignment),
+    noise dropped. Result: 822 cores in 27 clusters + 29 border points.
+    Oracle: the O(n^2) pair spec (the grid join prunes a guaranteed
+    superset of exactly this) + recursive-CTE transitive closure -- every
+    comparison mul/add on shared literals, bit-exact."""
+    from spatial.dbscan import dbscan
+    from spatial.synth import synth_cluster_points
+
+    pts = synth_cluster_points(spark)
+    return dbscan(pts, eps=1.0, min_pts=5, id_col="point_id") \
+        .withColumnRenamed("id", "point_id")
+
+
 def q_nearest_route(spark, sf_dir):
     """NEAREST-ROUTE ASSIGNMENT (kNN k=1 for LINE geometries): every event
     point assigned its closest fixture route by point-to-polyline SQUARED
@@ -3026,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_line_join": q_line_line_join,
         "q_grid_areal_weights": q_grid_areal_weights,
         "q_nearest_route": q_nearest_route,
+        "q_dbscan": q_dbscan,
     }
 
 
@@ -3769,6 +3790,14 @@ def _line_polygon_join_oracle() -> str:
     pv = _poly_values_sql(
         [(rid, rings) for rid, _c, rings in region_rings()], sql_double)
     return line_polygon_join_oracle_sql(lv, pv, "route_id", "region_id")
+
+
+def _dbscan_oracle() -> str:
+    from spatial.dbscan import _points_values_sql, dbscan_oracle_sql
+    from spatial.synth import cluster_points, sql_double
+
+    vals = _points_values_sql(cluster_points(), sql_double)
+    return dbscan_oracle_sql(vals, eps=1.0, min_pts=5, id_col="point_id")
 
 
 def _nearest_route_oracle() -> str:
@@ -4605,4 +4634,5 @@ def oracle_sql() -> dict[str, str]:
         "q_line_line_join": _line_line_join_oracle(),
         "q_grid_areal_weights": _grid_areal_weights_oracle(),
         "q_nearest_route": _nearest_route_oracle(),
+        "q_dbscan": _dbscan_oracle(),
     }

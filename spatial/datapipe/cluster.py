@@ -39,6 +39,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _local_checkpoint_flat_stats(df: DataFrame) -> DataFrame:
+    """localCheckpoint + STATISTICS RESET -- required for iterative loops.
+
+    Dataset.localCheckpoint snapshots the optimized plan's sizeInBytes
+    into the LogicalRDD it returns. In a loop, the next round's join
+    estimates MULTIPLY that snapshot, the following checkpoint snapshots
+    the product, and the estimate grows doubly-exponentially: measured on
+    a 64-node path graph, the BigInt doubled its digit count every round
+    (13 -> 9.2 MILLION digits by round 19), at which point plan-JSON
+    consumers die on Jackson's number-length cap ("BigInteger would
+    overflow supported range") -- first hit in round 4 by DBSCAN's giant
+    supercritical component, whose ~10 pointer-jump rounds exceed the 2-3
+    the near-clique dedup graphs ever needed. Rewrapping the checkpointed
+    rows via the JVM-side createDataFrame(RDD[Row], schema) drops the
+    snapshot so every round restarts from the default size estimate
+    (constant digits, measured 44 forever); rows stay in the JVM -- no
+    Python serialization enters the loop."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ConcreteDF
+    except ImportError:  # pyspark < 4: pyspark.sql.DataFrame is concrete
+        _ConcreteDF = DataFrame
+    jdf = df.localCheckpoint(True)._jdf
+    fresh = jdf.sparkSession().createDataFrame(jdf.rdd(), jdf.schema())
+    return _ConcreteDF(fresh, df.sparkSession)
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_rounds: int = 64) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``pairs``; cluster_id is
@@ -52,7 +78,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
              .persist()
     labels = edges.select("u").distinct() \
                   .select(F.col("u").alias("id"), F.col("u").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _local_checkpoint_flat_stats(labels)
     for _ in range(max_rounds):
         # neighbor-min: tightest label visible across one hop
         nbr = (
@@ -73,7 +99,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
             prop.join(jump, prop["label"] == jump["jid"], "left")
             .select("id", F.least("label", "jl").alias("label"), "old")
         )
-        new = new.localCheckpoint(eager=True)
+        new = _local_checkpoint_flat_stats(new)
         changed = new.where(F.col("label") < F.col("old")).count()
         labels = new.select("id", "label")
         if changed == 0:

@@ -95,7 +95,13 @@ def pagerank(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_id",
                      * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"))
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+            # stats-reset checkpoint: the plain localCheckpoint snapshots
+            # sizeInBytes and the next round's join estimates multiply it
+            # -- doubly-exponential growth that breaks past ~10 rounds
+            # (full derivation at cluster._local_checkpoint_flat_stats)
+            from .cluster import _local_checkpoint_flat_stats
+
+            ranks = _local_checkpoint_flat_stats(ranks)
     return ranks.select(F.col("id").alias(id_col),
                         F.col("r").alias("pagerank"))
 

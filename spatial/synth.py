@@ -197,6 +197,32 @@ def synth_routes(spark: SparkSession, n: int = 24, seed: int = 7) -> DataFrame:
     return spark.createDataFrame(rows, "route_id long, geom_hex string")
 
 
+def cluster_points(n: int = 1200, seed: int = 13) -> list[tuple[int, float, float]]:
+    """Pure-Python clustered point fixture for density clustering:
+    [(point_id, x, y)] -- ~70% Gaussian blobs (sigma 0.5 deg) around 40
+    gazetteer cities, ~30% uniform world noise. Single source of truth for
+    synth_cluster_points AND the DBSCAN oracle's VALUES body."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        if rng.uniform() < 0.7:
+            _c, _cc, _t, cx, cy = CITIES[int(rng.integers(0, 40))]
+            x = float(cx + rng.normal(0.0, 0.5))
+            y = float(cy + rng.normal(0.0, 0.5))
+        else:
+            x = float(rng.uniform(-180.0, 180.0))
+            y = float(rng.uniform(-85.0, 85.0))
+        out.append((i, x, y))
+    return out
+
+
+def synth_cluster_points(spark: SparkSession, n: int = 1200,
+                         seed: int = 13) -> DataFrame:
+    """DataFrame form of cluster_points: (point_id, x, y)."""
+    return spark.createDataFrame(cluster_points(n, seed),
+                                 "point_id long, x double, y double")
+
+
 def pages_local(n_rows: int, seed: int = 42) -> pd.DataFrame:
     """Driver-side replay of synth_pages' rows (pure function of (seed, idx),
     identical to the distributed output at any partitioning). Used to render
