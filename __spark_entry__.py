@@ -2541,6 +2541,25 @@ def q_line_polygon_join(spark, sf_dir):
     return line_polygon_join(L, R, line_id="route_id", poly_id="region_id")
 
 
+def q_morans_i(spark, sf_dir):
+    """MORAN'S I spatial autocorrelation of per-cell event density
+    (spatial/spatialstats.py) in EXACT integer pieces: unit-cell counts,
+    centered-integer transform v = n*c - S (multiplying through by n
+    removes the float-fragile mean), rook-adjacency self-join, BIGINT
+    sums -- output (n_cells, w_pairs, num, den) with
+    I = (n_cells/w_pairs)*(num/den) left to the consumer. One count
+    aggregate + one 4-offset equi-join on the dim-sized observed-cell
+    table + two combinable sums; no floats anywhere, bit-exact."""
+    from spatial.spatialstats import morans_i_pieces
+
+    ev = _events(spark, sf_dir).select(_lon().alias("__x"),
+                                       _lat().alias("__y"))
+    # 10-degree cells: counts vary 6-21 at sf0.01 (unit cells give one
+    # event per cell -> every centered value 0 and the statistic
+    # degenerates to (n, W, 0, 0))
+    return morans_i_pieces(ev, "__x", "__y", cell_size=10.0)
+
+
 def q_dbscan(spark, sf_dir):
     """GRID-BASED DBSCAN (spatial/dbscan.py): exact density clustering of
     the 1200-point blobs+noise fixture (eps=1.0, min_pts=5 incl. self) --
@@ -3047,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_areal_weights": q_grid_areal_weights,
         "q_nearest_route": q_nearest_route,
         "q_dbscan": q_dbscan,
+        "q_morans_i": q_morans_i,
     }
 
 
@@ -3790,6 +3810,14 @@ def _line_polygon_join_oracle() -> str:
     pv = _poly_values_sql(
         [(rid, rings) for rid, _c, rings in region_rings()], sql_double)
     return line_polygon_join_oracle_sql(lv, pv, "route_id", "region_id")
+
+
+def _morans_i_oracle() -> str:
+    from spatial.spatialstats import morans_i_oracle_sql
+
+    return morans_i_oracle_sql("SELECT event_id FROM events",
+                               f"({LON_SQL})", f"({LAT_SQL})",
+                               cell_size=10.0)
 
 
 def _dbscan_oracle() -> str:
@@ -4635,4 +4663,5 @@ def oracle_sql() -> dict[str, str]:
         "q_grid_areal_weights": _grid_areal_weights_oracle(),
         "q_nearest_route": _nearest_route_oracle(),
         "q_dbscan": _dbscan_oracle(),
+        "q_morans_i": _morans_i_oracle(),
     }

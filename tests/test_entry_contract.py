@@ -113,7 +113,8 @@ def test_round4_window_covers_never_recorded_queries():
     # never-recorded query outside the window still fails this test.
     post_freeze = {"q_overlay_areas", "q_line_polygon_join",
                    "q_route_region_length", "q_line_line_join",
-                   "q_grid_areal_weights", "q_nearest_route", "q_dbscan"}
+                   "q_grid_areal_weights", "q_nearest_route", "q_dbscan",
+                   "q_morans_i"}
     missing = [q for q in order if q not in recorded and q not in window
                and q not in post_freeze]
     assert not missing, f"never-driver-recorded queries outside window: {missing}"
