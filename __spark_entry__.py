@@ -2560,6 +2560,21 @@ def q_morans_i(spark, sf_dir):
     return morans_i_pieces(ev, "__x", "__y", cell_size=10.0)
 
 
+def q_local_moran(spark, sf_dir):
+    """LISA HOTSPOT CELLS (Anselin's local Moran, integer form): the
+    top-20 10-degree cells by v_i * sum(rook-neighbor v_j) -- the
+    hot/coldspot cores of event density. All-integer (same centered
+    transform as q_morans_i), so the top-k ordering (local_num DESC,
+    gx, gy) is deterministic and bit-exact. Shape: one count aggregate +
+    one 4-offset equi-join + one exact top-k on the dim-sized cell
+    table."""
+    from spatial.spatialstats import local_moran_hotspots
+
+    ev = _events(spark, sf_dir).select(_lon().alias("__x"),
+                                       _lat().alias("__y"))
+    return local_moran_hotspots(ev, "__x", "__y", cell_size=10.0, k=20)
+
+
 def q_dbscan(spark, sf_dir):
     """GRID-BASED DBSCAN (spatial/dbscan.py): exact density clustering of
     the 1200-point blobs+noise fixture (eps=1.0, min_pts=5 incl. self) --
@@ -3067,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nearest_route": q_nearest_route,
         "q_dbscan": q_dbscan,
         "q_morans_i": q_morans_i,
+        "q_local_moran": q_local_moran,
     }
 
 
@@ -3818,6 +3834,14 @@ def _morans_i_oracle() -> str:
     return morans_i_oracle_sql("SELECT event_id FROM events",
                                f"({LON_SQL})", f"({LAT_SQL})",
                                cell_size=10.0)
+
+
+def _local_moran_oracle() -> str:
+    from spatial.spatialstats import local_moran_oracle_sql
+
+    return local_moran_oracle_sql("SELECT event_id FROM events",
+                                  f"({LON_SQL})", f"({LAT_SQL})",
+                                  cell_size=10.0, k=20)
 
 
 def _dbscan_oracle() -> str:
@@ -4664,4 +4688,5 @@ def oracle_sql() -> dict[str, str]:
         "q_nearest_route": _nearest_route_oracle(),
         "q_dbscan": _dbscan_oracle(),
         "q_morans_i": _morans_i_oracle(),
+        "q_local_moran": _local_moran_oracle(),
     }

@@ -19,6 +19,38 @@ def test_morans_i_two_cell_dispersion(spark):
     assert (r["n_cells"], r["w_pairs"], r["num"], r["den"]) == (2, 2, -8, 8)
 
 
+def test_local_moran_hotspots_bruteforce(spark):
+    """Top-k LISA cells == a driver-side brute-force replay on a 6x6
+    block layout, and the hotspot core (high cell with all-high
+    neighbors) ranks first."""
+    from spatial.spatialstats import local_moran_hotspots
+
+    pts = []
+    counts = {}
+    for gx in range(6):
+        for gy in range(6):
+            c = 5 if (gx < 3 and gy < 3) else 1
+            counts[(gx, gy)] = c
+            pts += [(gx + 0.5, gy + 0.5)] * c
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = [(r["gx"], r["gy"], r["v"], r["nbr_sum"], r["local_num"])
+           for r in local_moran_hotspots(df, "x", "y", k=10).collect()]
+
+    n = len(counts)
+    S = sum(counts.values())
+    v = {k: n * c - S for k, c in counts.items()}
+    rows = []
+    for (gx, gy), vi in v.items():
+        ns = sum(v[(gx + dx, gy + dy)]
+                 for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+                 if (gx + dx, gy + dy) in v)
+        rows.append((gx, gy, vi, ns, vi * ns))
+    want = sorted(rows, key=lambda r: (-r[4], r[0], r[1]))[:10]
+    assert got == want
+    # rank-1 hotspot: an interior high cell surrounded by high cells
+    assert got[0][0] in (0, 1) and got[0][1] in (0, 1) and got[0][4] > 0
+
+
 def test_morans_i_checkerboard_negative_blocks_positive(spark):
     """A 4x4 checkerboard of counts {1, 3} gives I < 0 (every neighbor is
     the opposite value); the same counts sorted into two 2x4 blocks give
