@@ -232,6 +232,18 @@ def test_nearest_route_plan_broadcast_and_partial_agg(spark):
     assert body.count("Exchange hashpartitioning") == 1
 
 
+def test_spatialstats_plans_pure_jvm(spark):
+    """Moran's I and LISA never cross into Python: the centered transform,
+    rook join and sums are all JVM column programs."""
+    import __spark_entry__ as entry_mod
+
+    for q in ("q_morans_i", "q_local_moran"):
+        plan = _plan(entry_mod.queries()[q](spark, SF))
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
 def test_grid_areal_weights_plan_no_shuffle_before_kernel(spark):
     """grid_areal_weights is a projection + explode over the dim table:
     the only exchange in its plan is the window's partitionBy(region_id);
