@@ -2625,6 +2625,40 @@ def q_nearest_route(spark, sf_dir):
                     F.col("__b.d2").alias("dist_sq")))
 
 
+def q_line_locate(spark, sf_dir):
+    """LINEAR REFERENCING / map-matching (overlay.make_point_line_locate,
+    the ST_LineLocatePoint primitive): every event point snapped to its
+    nearest route with the 0-based nearest-segment index and the exact
+    clamped projection parameter t in [0,1] -- all mul/add/div (no sqrt),
+    so d2/seg/t are bit-exact and the cross-route argmin
+    (min(struct(d2, route_id, seg, t)), one map-side-combinable
+    aggregate) needs no rounding. Ties at shared vertices resolve to the
+    lowest segment index in BOTH engines (numpy first-argmin == SQL
+    min-by-(d2, seg)). Oracle: routes flattened to ordered segment rows,
+    identical projection arithmetic, row_number QUALIFY."""
+    from spatial.overlay import make_point_line_locate
+    from spatial.synth import synth_routes
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", _lon().alias("__ex"), _lat().alias("__ey"))
+    routes = synth_routes(spark).select(
+        "route_id", ewkb_decode("geom_hex").alias("geom"))
+    loc = make_point_line_locate()
+    scored = ev.crossJoin(F.broadcast(routes)).select(
+        "event_id", "route_id",
+        loc(F.col("__ex"), F.col("__ey"), F.col("geom")).alias("L"))
+    best = scored.groupBy("event_id").agg(
+        F.min(F.struct(F.col("L.d2").alias("d2"),
+                       F.col("route_id").alias("route_id"),
+                       F.col("L.seg").alias("seg"),
+                       F.col("L.t").alias("t"))).alias("__b"))
+    return best.select("event_id",
+                       F.col("__b.route_id").alias("route_id"),
+                       F.col("__b.seg").alias("seg"),
+                       F.col("__b.t").alias("t"),
+                       F.col("__b.d2").alias("dist_sq"))
+
+
 def q_grid_areal_weights(spark, sf_dir):
     """AREAL INTERPOLATION (overlay.grid_areal_weights): each fixture
     region's area split across the integer lon/lat grid cells it overlaps
@@ -3083,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dbscan": q_dbscan,
         "q_morans_i": q_morans_i,
         "q_local_moran": q_local_moran,
+        "q_line_locate": q_line_locate,
     }
 
 
@@ -3834,6 +3869,16 @@ def _morans_i_oracle() -> str:
     return morans_i_oracle_sql("SELECT event_id FROM events",
                                f"({LON_SQL})", f"({LAT_SQL})",
                                cell_size=10.0)
+
+
+def _line_locate_oracle() -> str:
+    from spatial.overlay import _line_segs_values_sql, line_locate_oracle_sql
+    from spatial.synth import route_lines, sql_double
+
+    rv = _line_segs_values_sql(route_lines(), sql_double)
+    return line_locate_oracle_sql(rv, "SELECT event_id FROM events",
+                                  "e.event_id", f"({LON_SQL})",
+                                  f"({LAT_SQL})")
 
 
 def _local_moran_oracle() -> str:
@@ -4689,4 +4734,5 @@ def oracle_sql() -> dict[str, str]:
         "q_dbscan": _dbscan_oracle(),
         "q_morans_i": _morans_i_oracle(),
         "q_local_moran": _local_moran_oracle(),
+        "q_line_locate": _line_locate_oracle(),
     }

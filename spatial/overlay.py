@@ -1218,6 +1218,101 @@ def make_point_line_dist_sq():
     return point_line_dist_sq
 
 
+def make_point_line_locate():
+    """pandas_udf: (x, y, line GEOMETRY) -> struct(d2, seg, t) -- LINEAR
+    REFERENCING (the ST_LineLocatePoint primitive, exact form): the
+    squared distance to the polyline, the 0-based index of the nearest
+    segment, and the clamped projection parameter t in [0,1] along that
+    segment. Same bit-exact arithmetic contract as
+    make_point_line_dist_sq (mul/add/div only); within-line ties (the
+    foot landing on a shared vertex of two adjacent segments gives equal
+    d2 with t=1 / t=0) resolve to the LOWEST segment index -- numpy's
+    argmin first-minimum == SQL's min-by-(d2, seg), deterministically."""
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    ret = StructType([StructField("d2", DoubleType()),
+                      StructField("seg", IntegerType()),
+                      StructField("t", DoubleType())])
+
+    @pandas_udf(ret)
+    def point_line_locate(px: pd.Series, py: pd.Series,
+                          geom: pd.DataFrame) -> pd.DataFrame:
+        n = len(px)
+        d2o = np.full(n, np.inf, dtype=np.float64)
+        sego = np.zeros(n, dtype=np.int32)
+        to = np.zeros(n, dtype=np.float64)
+        if n:
+            pxv = px.to_numpy(np.float64)
+            pyv = py.to_numpy(np.float64)
+            xs_c, ys_c, ro_c = geom["xs"], geom["ys"], geom["ring_offsets"]
+            keys = pd.Series([tuple(v) for v in xs_c])
+            for _, idx in pd.Series(np.arange(n)).groupby(keys) \
+                    .indices.items():
+                first = idx[0]
+                _xs, _ys, (s1x, s1y, s2x, s2y) = _line_arrays(
+                    xs_c.iloc[first], ys_c.iloc[first], ro_c.iloc[first])
+                if len(s1x) == 0:
+                    continue
+                qx = pxv[idx][None, :]
+                qy = pyv[idx][None, :]
+                sdx = (s2x - s1x)[:, None]
+                sdy = (s2y - s1y)[:, None]
+                ax = s1x[:, None]
+                ay = s1y[:, None]
+                L2 = sdx * sdx + sdy * sdy
+                tr = ((qx - ax) * sdx + (qy - ay) * sdy) \
+                    / np.where(L2 > 0, L2, 1.0)
+                t = np.where(L2 > 0, np.clip(tr, 0.0, 1.0), 0.0)
+                ddx = qx - (ax + t * sdx)
+                ddy = qy - (ay + t * sdy)
+                d2 = ddx * ddx + ddy * ddy
+                best = d2.argmin(axis=0)  # FIRST min == lowest seg index
+                cols = np.arange(len(idx))
+                d2o[idx] = d2[best, cols]
+                sego[idx] = best.astype(np.int32)
+                to[idx] = t[best, cols]
+        return pd.DataFrame({"d2": d2o, "seg": sego, "t": to})
+
+    return point_line_locate
+
+
+def line_locate_oracle_sql(line_values: str, src_sql: str, id_expr: str,
+                           x_expr: str, y_expr: str,
+                           id_col: str = "event_id") -> str:
+    """DuckDB replay of the map-matching query (make_point_line_locate +
+    cross-route argmin): flatten every route into ORDERED (route_id, seg,
+    segment) rows, compute the identical clamped-projection d2/t per
+    (point, segment), and keep the lexicographic (d2, route_id, seg)
+    minimum per point -- which equals the engine's per-route argmin
+    followed by the min(struct(d2, route_id, seg, t)) aggregate (proof:
+    ordering by (d2, route_id, seg) picks the same winner either way)."""
+    L2 = "((g.s.qx - g.s.px) * (g.s.qx - g.s.px) + (g.s.qy - g.s.py) * (g.s.qy - g.s.py))"
+    tr = (f"((({x_expr} - g.s.px) * (g.s.qx - g.s.px)"
+          f" + ({y_expr} - g.s.py) * (g.s.qy - g.s.py)) / {L2})")
+    t = (f"(CASE WHEN {L2} > 0 THEN "
+         f"(CASE WHEN {tr} < 0.0e0 THEN 0.0e0 "
+         f"WHEN {tr} > 1.0e0 THEN 1.0e0 ELSE {tr} END) ELSE 0.0e0 END)")
+    ddx = f"({x_expr} - (g.s.px + {t} * (g.s.qx - g.s.px)))"
+    ddy = f"({y_expr} - (g.s.py + {t} * (g.s.qy - g.s.py)))"
+    return f"""
+WITH __r(route_id, segs) AS (VALUES
+{line_values}
+),
+__seg AS (
+  SELECT route_id, unnest(segs) AS s,
+         unnest(generate_series(0, len(segs) - 1)) AS seg
+  FROM __r),
+__d AS (
+  SELECT {id_expr} AS {id_col}, g.route_id, CAST(g.seg AS INT) AS seg,
+         {ddx} * {ddx} + {ddy} * {ddy} AS d2, {t} AS t
+  FROM ({src_sql}) e CROSS JOIN __seg g)
+SELECT {id_col}, route_id, seg, t, d2 AS dist_sq
+FROM __d
+QUALIFY row_number() OVER (PARTITION BY {id_col}
+                           ORDER BY d2, route_id, seg) = 1"""
+
+
 def point_line_dist_sq_sql(seg_list: str, x_expr: str, y_expr: str) -> str:
     """DuckDB expression: min squared distance from ({x_expr}, {y_expr})
     to the segments list {seg_list} ([{'px','py','qx','qy'}...]) -- the

@@ -300,6 +300,32 @@ def test_point_line_dist_sq_known_values(spark):
         assert got[(gid, px)] == want, (gid, px, py, got[(gid, px)], want)
 
 
+def test_point_line_locate_known_values(spark):
+    """Closed-form linear referencing: interior projection t, endpoint
+    clamps, nearest-segment index on an L-shape, and the shared-vertex
+    tie resolving to the LOWER segment index with t=1."""
+    from spatial.ewkb import encode_hex, ewkb_decode
+    from spatial.geometry import linestring
+    from spatial.overlay import make_point_line_locate
+
+    L = linestring([(0, 0), (10, 0), (10, 10)], srid=4326)
+    cases = [  # (px, py, want_seg, want_t, want_d2)
+        (3.0, 4.0, 0, 0.3, 16.0),     # interior of segment 0
+        (-5.0, 0.0, 0, 0.0, 25.0),    # clamp to start
+        (12.0, 5.0, 1, 0.5, 4.0),     # interior of segment 1
+        (14.0, -3.0, 0, 1.0, 25.0),   # equidistant corner (10,0): both
+                                      # segs give d2=25 -> seg 0, t=1
+    ]
+    rows = [(i, px, py, encode_hex(L)) for i, (px, py, *_ ) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, px double, py double, g string")
+    loc = make_point_line_locate()
+    got = {r["i"]: (r["L"]["seg"], r["L"]["t"], r["L"]["d2"])
+           for r in df.select("i", loc("px", "py",
+                                       ewkb_decode("g")).alias("L")).collect()}
+    for i, (_px, _py, seg, t, d2) in enumerate(cases):
+        assert got[i] == (seg, t, d2), (i, got[i])
+
+
 def test_grid_areal_weights_hand_and_conservation(spark):
     """Hand case: a 2x2 square at (0.5, 0.5) splits 4 quarter-cells of 1e6
     micro each; the holed fixture regions conserve total area across cells
