@@ -2625,6 +2625,27 @@ def q_nearest_route(spark, sf_dir):
                     F.col("__b.d2").alias("dist_sq")))
 
 
+def q_route_dwithin(spark, sf_dir):
+    """GRID-PRUNED ST_DWithin JOIN for lines (overlay.line_dwithin_join):
+    (event, route) pairs within 3 degrees -- the scale path for a line
+    side too big to broadcast: route bboxes EXPAND by eps and cover
+    cells, each event maps to its ONE cell (staged pure-JVM with_cell),
+    candidates are the cell equi-join (sound: within-eps implies inside
+    the expanded bbox implies the point's cell is covered; exactly-once:
+    a point has one cell), refined by the bit-exact squared distance.
+    Oracle: the direct cross-join spec with the identical d2 expression
+    and eps^2 literal."""
+    from spatial.overlay import line_dwithin_join
+    from spatial.synth import synth_routes
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", _lon().alias("__x"), _lat().alias("__y"))
+    routes = synth_routes(spark).select(
+        "route_id", ewkb_decode("geom_hex").alias("geom"))
+    return line_dwithin_join(ev, routes, eps=3.0, point_id="event_id",
+                             line_id="route_id", x_col="__x", y_col="__y")
+
+
 def q_line_locate(spark, sf_dir):
     """LINEAR REFERENCING / map-matching (overlay.make_point_line_locate,
     the ST_LineLocatePoint primitive): every event point snapped to its
@@ -3118,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_morans_i": q_morans_i,
         "q_local_moran": q_local_moran,
         "q_line_locate": q_line_locate,
+        "q_route_dwithin": q_route_dwithin,
     }
 
 
@@ -3869,6 +3891,18 @@ def _morans_i_oracle() -> str:
     return morans_i_oracle_sql("SELECT event_id FROM events",
                                f"({LON_SQL})", f"({LAT_SQL})",
                                cell_size=10.0)
+
+
+def _route_dwithin_oracle() -> str:
+    from spatial.overlay import _line_segs_values_sql, line_dwithin_oracle_sql
+    from spatial.synth import route_lines, sql_double
+
+    rv = _line_segs_values_sql(route_lines(), sql_double)
+    return line_dwithin_oracle_sql(rv, "SELECT event_id FROM events",
+                                   "e.event_id", f"({LON_SQL})",
+                                   f"({LAT_SQL})", eps=3.0,
+                                   point_id="event_id",
+                                   line_id="route_id")
 
 
 def _line_locate_oracle() -> str:
@@ -4735,4 +4769,5 @@ def oracle_sql() -> dict[str, str]:
         "q_morans_i": _morans_i_oracle(),
         "q_local_moran": _local_moran_oracle(),
         "q_line_locate": _line_locate_oracle(),
+        "q_route_dwithin": _route_dwithin_oracle(),
     }

@@ -1277,6 +1277,82 @@ def make_point_line_locate():
     return point_line_locate
 
 
+def line_dwithin_join(
+    points: DataFrame,
+    lines: DataFrame,
+    eps: float,
+    point_id: str = "point_id",
+    line_id: str = "line_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    geom_col: str = "geom",
+    level: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Grid-pruned ST_DWithin join: (point_id, line_id) for every point
+    within eps of the polyline (squared-distance refine, bit-exact). The
+    scale path the broadcast-brute nearest-route plan cannot take when the
+    line side outgrows a broadcast: each line's bbox EXPANDS by eps and
+    covers cells; each point maps to its one cell (staged pure-JVM
+    with_cell); candidates are the cell equi-join -- a point within eps
+    lies inside the expanded bbox, whose cover contains the point's cell,
+    so pruning is sound and each pair appears exactly once (a point has
+    ONE cell). SpatialJoinPlan's broadcast/shuffle decision and the
+    constraint-propagation pin both apply."""
+    from .cells import with_cell
+    from .join import make_cover_cells, pick_level
+
+    spark = points.sparkSession
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    eps = float(eps)
+    g = F.col(geom_col)
+    expanded = lines.select(
+        F.col(line_id), g.alias("__geom_l"),
+        (F.array_min(g["xs"]) - eps).alias("__minx"),
+        (F.array_min(g["ys"]) - eps).alias("__miny"),
+        (F.array_max(g["xs"]) + eps).alias("__maxx"),
+        (F.array_max(g["ys"]) + eps).alias("__maxy"))
+    if level is None:
+        level = pick_level(
+            expanded.select(F.struct(
+                F.array(F.col("__minx"), F.col("__maxx")).alias("xs"),
+                F.array(F.col("__miny"), F.col("__maxy")).alias("ys"))
+                .alias("geom")))
+    cover = make_cover_cells(level)
+    lc = expanded.withColumn("cell", F.explode(
+        cover("__minx", "__miny", "__maxx", "__maxy"))) \
+        .select("cell", line_id, "__geom_l")
+    lc = lc.persist()
+    lside = F.broadcast(lc) if lc.count() <= broadcast_threshold else lc
+    pc = with_cell(points.select(point_id, x_col, y_col),
+                   x_col, y_col, level, out_col="cell")
+    d2 = make_point_line_dist_sq()
+    out = (pc.join(lside, "cell")
+           .where(d2(F.col(x_col), F.col(y_col), F.col("__geom_l"))
+                  <= F.lit(eps * eps))
+           .select(point_id, line_id))
+    return out
+
+
+def line_dwithin_oracle_sql(line_values: str, src_sql: str, id_expr: str,
+                            x_expr: str, y_expr: str, eps: float,
+                            point_id: str = "point_id",
+                            line_id: str = "line_id") -> str:
+    """DuckDB replay of line_dwithin_join: the direct cross-join spec
+    (the grid is a guaranteed-superset pruning) with the identical
+    squared-distance expression and eps^2 literal."""
+    from .synth import sql_double
+
+    d2 = point_line_dist_sq_sql("r.segs", x_expr, y_expr)
+    return f"""
+WITH __r(route_id, segs) AS (VALUES
+{line_values}
+)
+SELECT {id_expr} AS {point_id}, r.route_id AS {line_id}
+FROM ({src_sql}) e CROSS JOIN __r r
+WHERE {d2} <= {sql_double(float(eps) * float(eps))}"""
+
+
 def line_locate_oracle_sql(line_values: str, src_sql: str, id_expr: str,
                            x_expr: str, y_expr: str,
                            id_col: str = "event_id") -> str:

@@ -114,7 +114,8 @@ def test_round4_window_covers_never_recorded_queries():
     post_freeze = {"q_overlay_areas", "q_line_polygon_join",
                    "q_route_region_length", "q_line_line_join",
                    "q_grid_areal_weights", "q_nearest_route", "q_dbscan",
-                   "q_morans_i", "q_local_moran", "q_line_locate"}
+                   "q_morans_i", "q_local_moran", "q_line_locate",
+                   "q_route_dwithin"}
     missing = [q for q in order if q not in recorded and q not in window
                and q not in post_freeze]
     assert not missing, f"never-driver-recorded queries outside window: {missing}"

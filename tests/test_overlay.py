@@ -326,6 +326,46 @@ def test_point_line_locate_known_values(spark):
         assert got[i] == (seg, t, d2), (i, got[i])
 
 
+def test_line_dwithin_join_matches_bruteforce(spark):
+    """Grid-pruned dwithin join == driver all-pairs d2 <= eps^2 over the
+    route fixture at a non-query eps, each pair exactly once, and the
+    forced-shuffle path agrees."""
+    from spatial.ewkb import ewkb_decode
+    from spatial.overlay import line_dwithin_join
+    from spatial.synth import route_lines, synth_routes
+
+    eps = 1.5
+    pts = [(i, -180.0 + (i * 77 % 3600) / 10.0, -85.0 + (i * 131 % 1700) / 10.0)
+           for i in range(800)]
+    P = spark.createDataFrame(pts, "pid long, x double, y double")
+    R = synth_routes(spark).select(
+        "route_id", ewkb_decode("geom_hex").alias("geom"))
+    got = [(r["pid"], r["route_id"]) for r in line_dwithin_join(
+        P, R, eps=eps, point_id="pid", line_id="route_id").collect()]
+    assert len(got) == len(set(got)), "duplicate pair emitted"
+    sh = sorted((r["pid"], r["route_id"]) for r in line_dwithin_join(
+        P, R, eps=eps, point_id="pid", line_id="route_id",
+        broadcast_threshold=0).collect())
+    assert sorted(got) == sh
+
+    la = {rid: _L(parts) for rid, parts in route_lines()}
+
+    def d2_min(px, py, line):
+        import numpy as np
+        (l1x, l1y, l2x, l2y) = line[2]
+        dx, dy = l2x - l1x, l2y - l1y
+        L2 = dx * dx + dy * dy
+        tr = ((px - l1x) * dx + (py - l1y) * dy) / np.where(L2 > 0, L2, 1.0)
+        t = np.where(L2 > 0, np.clip(tr, 0.0, 1.0), 0.0)
+        ddx = px - (l1x + t * dx)
+        ddy = py - (l1y + t * dy)
+        return float((ddx * ddx + ddy * ddy).min())
+
+    want = sorted((pid, rid) for pid, px, py in pts for rid in la
+                  if d2_min(px, py, la[rid]) <= eps * eps)
+    assert sorted(got) == want and len(want) > 0
+
+
 def test_grid_areal_weights_hand_and_conservation(spark):
     """Hand case: a 2x2 square at (0.5, 0.5) splits 4 quarter-cells of 1e6
     micro each; the holed fixture regions conserve total area across cells
